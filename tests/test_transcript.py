@@ -1,0 +1,105 @@
+"""Transcript layer golden-vector and behaviour tests.
+
+The hex vectors are the public conformance vectors from the Rust merlin
+crate's own test suite (the same vectors the reference pins in
+merlin_transcripts/test_merlin.py:5-41), guaranteeing bit-equivalence with
+the Rust implementation used by curdleproofs.
+"""
+import pytest
+
+from curdleproofs_tpu.fields import FR_MOD, Fr
+from curdleproofs_tpu.transcript import (
+    CurdleproofsTranscript,
+    MerlinTranscript,
+    Strobe128,
+    keccak_f1600,
+)
+
+
+def test_keccak_f1600_known_vector():
+    # Keccak-f[1600] applied to the zero state: first lane of the standard
+    # public test vector (from the Keccak team's KAT for the permutation).
+    out = keccak_f1600(bytes(200))
+    lane0 = int.from_bytes(out[:8], "little")
+    assert lane0 == 0xF1258F7940E1DDE7
+    lane1 = int.from_bytes(out[8:16], "little")
+    assert lane1 == 0x84D5CCF933C0478A
+
+
+def test_keccak_f1600_involution_sanity():
+    # permutation is deterministic and state-size preserving
+    st = bytes(range(200))
+    a = keccak_f1600(st)
+    b = keccak_f1600(st)
+    assert a == b and len(a) == 200 and a != st
+
+
+def test_strobe_conformance():
+    s = Strobe128(b"Conformance Test Protocol")
+    msg = bytes([99]) * 1024
+
+    s.meta_ad(b"ms", False)
+    s.meta_ad(b"g", True)
+    s.ad(msg, False)
+
+    s.meta_ad(b"prf", False)
+    prf = s.prf(32, False)
+    assert prf.hex() == "b48e645ca17c667fd5206ba57a6a228d72d8e1903814d3f17f622996d7cfefb0"
+
+    s.meta_ad(b"key", False)
+    s.key(bytes(prf), False)
+
+    s.meta_ad(b"prf", False)
+    prf = s.prf(32, False)
+    assert prf.hex() == "07e45cce8078cee259e3e375bb85d75610e2d1e1201c5f645045a194edd49ff8"
+
+
+def test_strobe_flag_mismatch_rejected():
+    s = Strobe128(b"proto")
+    s.meta_ad(b"a", False)
+    with pytest.raises(ValueError):
+        s.ad(b"b", True)  # continuation with different flags
+
+
+def test_merlin_conformance():
+    t = MerlinTranscript(b"test protocol")
+    t.append_message(b"some label", b"some data")
+    challenge = t.challenge_bytes(b"challenge", 32)
+    assert (
+        challenge.hex()
+        == "d5a21972d0d5fe320c0d263fac7fffb8145aa640af6e9bca177c03c7efcf0615"
+    )
+
+
+def test_merlin_chunked_absorb_equivalence():
+    # bulk absorb must match many small absorbs (rate-boundary handling)
+    t1 = MerlinTranscript(b"chunks")
+    t1.append_message(b"m", bytes(range(256)) * 3)
+    t2 = MerlinTranscript(b"chunks")
+    t2.append_message(b"m", bytes(bytes(range(256)) * 3))
+    assert t1.challenge_bytes(b"c", 64) == t2.challenge_bytes(b"c", 64)
+
+
+def test_challenge_scalar_in_range_and_deterministic():
+    t1 = CurdleproofsTranscript(b"curdleproofs")
+    t1.append(b"lbl", b"payload")
+    c1 = t1.get_and_append_challenge(b"chal")
+    t2 = CurdleproofsTranscript(b"curdleproofs")
+    t2.append(b"lbl", b"payload")
+    c2 = t2.get_and_append_challenge(b"chal")
+    assert isinstance(c1, Fr)
+    assert c1 == c2
+    assert 0 < c1.v < FR_MOD
+    # appending the accepted bytes changes subsequent challenges
+    assert t1.get_and_append_challenge(b"chal") != c1
+
+
+def test_challenge_stream_differs_by_label_and_content():
+    base = CurdleproofsTranscript(b"curdleproofs")
+    base.append(b"x", b"1")
+    a = base.get_and_append_challenge(b"c1")
+
+    other = CurdleproofsTranscript(b"curdleproofs")
+    other.append(b"x", b"2")
+    b = other.get_and_append_challenge(b"c1")
+    assert a != b
