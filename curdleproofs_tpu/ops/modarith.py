@@ -1,0 +1,253 @@
+"""Branchless multi-limb modular arithmetic kernels (JAX, TPU-first).
+
+Field elements are (L, *batch) uint32 arrays of 16-bit limbs (limb-major; see
+ops.fieldspec). All functions are shape-polymorphic over the batch dims, free
+of data-dependent control flow, and safe under jit/vmap/shard_map.
+
+Algorithm notes
+  * mont_mul: operand-scanning wide multiply with split lo/hi column
+    accumulation (each column bounded < 2^23, comfortably inside uint32),
+    followed by word-by-word Montgomery reduction with carries threaded
+    through the pivot column only — the classic CIOS dataflow restructured so
+    every step is a full-width vector op over the batch axis.
+  * carry/borrow ripples are sequential over the (static, small) limb axis
+    but fully vectorized over the batch axis, which is where the parallelism
+    lives on the 8x128 VPU.
+
+This replaces the reference's per-element Rust arkworks field calls
+(py_arkworks_bls12381-stubs/__init__.pyi:32-54) with batched device kernels.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from curdleproofs_tpu.ops.fieldspec import LIMB_BITS, LIMB_MASK, FieldSpec
+
+import os
+
+_U32 = jnp.uint32
+_MASK = jnp.uint32(LIMB_MASK)
+_SHIFT = jnp.uint32(LIMB_BITS)
+
+# Graph-size/performance switch: "loop" builds tiny graphs (lax.scan/fori over
+# the limb axis — fast compiles, the right default off-TPU), "unroll" builds
+# fully unrolled limb graphs XLA can fuse aggressively. The Pallas kernels
+# supersede both for the hot paths on TPU.
+UNROLL = os.environ.get("CURDLEPROOFS_LIMB_UNROLL", "0") == "1"
+
+
+def _const(v) -> jnp.ndarray:
+    return jnp.asarray(v, dtype=_U32)
+
+
+def _ripple_carry(cols) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalize L column accumulators (< 2^32) into 16-bit limbs.
+    cols: (L, *B) array or list of (*B,) arrays.
+    Returns ((L, *B) limbs, carry-out (*B,))."""
+    if isinstance(cols, (list, tuple)):
+        cols = jnp.stack(cols)
+    if UNROLL:
+        out = []
+        carry = jnp.zeros_like(cols[0])
+        for c in cols:
+            v = c + carry
+            out.append(v & _MASK)
+            carry = v >> _SHIFT
+        return jnp.stack(out), carry
+
+    def body(carry, col):
+        v = col + carry
+        return v >> _SHIFT, v & _MASK
+
+    carry, limbs = lax.scan(body, jnp.zeros_like(cols[0]), cols)
+    return limbs, carry
+
+
+def _sub_borrow(a, b) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Limbwise a - b with borrow ripple. Returns ((L, *B) diff, borrow (*B,))."""
+    base = _const(1 << LIMB_BITS)
+    if UNROLL:
+        L = a.shape[0]
+        out = []
+        borrow = jnp.zeros_like(a[0])
+        for i in range(L):
+            v = a[i] + base - b[i] - borrow
+            out.append(v & _MASK)
+            borrow = jnp.uint32(1) - (v >> _SHIFT)
+        return jnp.stack(out), borrow
+
+    def body(borrow, ab):
+        ai, bi = ab
+        v = ai + base - bi - borrow
+        return jnp.uint32(1) - (v >> _SHIFT), v & _MASK
+
+    bb = jnp.broadcast_to(b, a.shape)
+    borrow, diff = lax.scan(body, jnp.zeros_like(a[0]), (a, bb))
+    return diff, borrow
+
+
+def add(spec: FieldSpec, a, b):
+    """(a + b) mod p, canonical in/out."""
+    mod = _const(spec.mod_limbs).reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
+    s, c = _ripple_carry(list(a + b))
+    d, brw = _sub_borrow(s, mod)
+    use_d = (c == 1) | (brw == 0)
+    return jnp.where(use_d, d, s)
+
+
+def sub(spec: FieldSpec, a, b):
+    """(a - b) mod p, canonical in/out."""
+    mod = _const(spec.mod_limbs).reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
+    d, brw = _sub_borrow(a, b)
+    d2, _ = _ripple_carry(list(d + mod))
+    return jnp.where(brw == 1, d2, d)
+
+
+def neg(spec: FieldSpec, a):
+    """(-a) mod p."""
+    return sub(spec, jnp.zeros_like(a), a)
+
+
+def double(spec: FieldSpec, a):
+    return add(spec, a, a)
+
+
+def is_zero(spec: FieldSpec, a):
+    """Boolean mask (*B,): a == 0 (canonical representation assumed)."""
+    return jnp.all(a == 0, axis=0)
+
+
+def eq(spec: FieldSpec, a, b):
+    return jnp.all(a == b, axis=0)
+
+
+def select(mask, a, b):
+    """Elementwise field select: mask (*B,) -> a where True else b."""
+    return jnp.where(mask[None, ...], a, b)
+
+
+def mont_mul(spec: FieldSpec, a, b):
+    """Montgomery product: a * b * R^{-1} mod p, canonical in/out.
+
+    a, b: (L, *B) uint32 16-bit limbs in Montgomery form (or any canonical
+    residues — the function is just a modmul up to the R^{-1} factor).
+    Column accumulators stay < 2^23 (L<=24 lo+hi 16-bit terms per column plus
+    pivot carries), well inside uint32.
+    """
+    if UNROLL:
+        return _mont_mul_unrolled(spec, a, b)
+    return _mont_mul_looped(spec, a, b)
+
+
+def _mont_mul_unrolled(spec: FieldSpec, a, b):
+    L = spec.nlimbs
+    n0inv = _const(spec.n0inv)
+    batch_shape = a.shape[1:]
+    modv = _const(spec.mod_limbs).reshape((L,) + (1,) * len(batch_shape))
+
+    # --- wide multiply: column accumulators t[0..2L] -----------------------
+    t = jnp.zeros((2 * L + 1,) + batch_shape, dtype=_U32)
+    for i in range(L):
+        p = a[i][None, ...] * b  # (L, *B) full 32-bit products
+        t = t.at[i : i + L].add(p & _MASK)
+        t = t.at[i + 1 : i + L + 1].add(p >> _SHIFT)
+
+    # --- Montgomery reduction: eliminate limbs 0..L-1 ----------------------
+    for i in range(L):
+        m = ((t[i] * n0inv) & _MASK)[None, ...]  # (1, *B)
+        p = m * modv  # (L, *B)
+        t = t.at[i : i + L].add(p & _MASK)
+        t = t.at[i + 1 : i + L + 1].add(p >> _SHIFT)
+        # t[i] is now ≡ 0 mod 2^16; push its carry into the pivot column
+        t = t.at[i + 1].add(t[i] >> _SHIFT)
+
+    return _mont_finish(t, L, modv)
+
+
+def _mont_mul_looped(spec: FieldSpec, a, b):
+    """Same dataflow as _mont_mul_unrolled but with the limb loops as
+    lax.fori_loop — a ~20x smaller graph, the default off-TPU."""
+    L = spec.nlimbs
+    n0inv = _const(spec.n0inv)
+    batch_shape = a.shape[1:]
+    modv = _const(spec.mod_limbs).reshape((L,) + (1,) * len(batch_shape))
+    bb = jnp.broadcast_to(b, a.shape)
+    zrow = jnp.zeros((1,) + batch_shape, dtype=_U32)
+    modb = jnp.broadcast_to(modv, a.shape)
+
+    def wide_body(i, t):
+        ai = lax.dynamic_index_in_dim(a, i, axis=0, keepdims=True)  # (1, *B)
+        p = ai * bb
+        w = lax.dynamic_slice_in_dim(t, i, L + 1, axis=0)
+        w = w + jnp.concatenate([p & _MASK, zrow], 0)
+        w = w + jnp.concatenate([zrow, p >> _SHIFT], 0)
+        return lax.dynamic_update_slice_in_dim(t, w, i, axis=0)
+
+    t = jnp.zeros((2 * L + 1,) + batch_shape, dtype=_U32)
+    t = lax.fori_loop(0, L, wide_body, t)
+
+    def red_body(i, t):
+        w = lax.dynamic_slice_in_dim(t, i, L + 1, axis=0)
+        m = (w[0] * n0inv) & _MASK
+        p = m[None, ...] * modb
+        w = w + jnp.concatenate([p & _MASK, zrow], 0)
+        w = w + jnp.concatenate([zrow, p >> _SHIFT], 0)
+        w = w.at[1].add(w[0] >> _SHIFT)
+        return lax.dynamic_update_slice_in_dim(t, w, i, axis=0)
+
+    t = lax.fori_loop(0, L, red_body, t)
+    return _mont_finish(t, L, modv)
+
+
+def _mont_finish(t, L, modv):
+    """Normalize the surviving upper half of the accumulator and reduce to
+    [0, p). t[2L] + ripple carry < 2 by the Montgomery bound (t/R < 2p)."""
+    res, carry = _ripple_carry(t[L : 2 * L])
+    top = t[2 * L] + carry
+    d, brw = _sub_borrow(res, modv)
+    use_d = (top > 0) | (brw == 0)
+    return jnp.where(use_d, d, res)
+
+
+def mont_sqr(spec: FieldSpec, a):
+    return mont_mul(spec, a, a)
+
+
+def to_mont(spec: FieldSpec, a):
+    """Canonical residue -> Montgomery form (multiply by R^2)."""
+    r2 = _const(spec.r2_limbs).reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
+    return mont_mul(spec, a, jnp.broadcast_to(r2, a.shape))
+
+def from_mont(spec: FieldSpec, a):
+    """Montgomery form -> canonical residue (multiply by 1)."""
+    one = jnp.zeros_like(a).at[0].set(1)
+    return mont_mul(spec, a, one)
+
+
+def mont_pow_const(spec: FieldSpec, a, e: int):
+    """a^e (Montgomery in/out) for a static exponent, via an MSB-first
+    square-and-multiply lax.scan (graph stays O(1) montmuls)."""
+    if e == 0:
+        one = _const(spec.one_mont).reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
+        return jnp.broadcast_to(one, a.shape)
+    bits = [(e >> i) & 1 for i in range(e.bit_length())][::-1]  # MSB first
+    bits_arr = jnp.asarray(bits, dtype=jnp.uint32)
+
+    def body(acc, bit):
+        acc = mont_sqr(spec, acc)
+        acc_mul = mont_mul(spec, acc, a)
+        acc = jnp.where(bit > 0, acc_mul, acc)
+        return acc, None
+
+    # first bit is always 1: start from a
+    acc, _ = lax.scan(body, a, bits_arr[1:])
+    return acc
+
+
+def mont_inv(spec: FieldSpec, a):
+    """Batched modular inverse via Fermat (a^(p-2)); 0 -> 0.
+    Montgomery in/out."""
+    return mont_pow_const(spec, a, spec.modulus - 2)

@@ -1,0 +1,193 @@
+"""Multi-scalar multiplication engine (TPU-first Pippenger).
+
+Replaces the reference's naive serial loop (msm_accumulator.py:6-12) — the #1
+performance gap called out in SURVEY.md §2 — with a dense, scatter-free
+Pippenger variant designed for TPU vector units:
+
+For each c-bit window w with digits d_i and buckets t in [0, 2^c):
+    S_w = sum_i d_i * P_i = sum_t t * bucket_t
+Sorting lanes by digit makes every bucket a contiguous segment, so with the
+inclusive group-prefix-scan P (ops.scan) and boundary indices
+e_t = (last sorted lane with digit <= t):
+    S_w = (B-1) * total  -  sum_{t=0}^{B-2} P[e_t]
+which needs only: one argsort + gather, ~2n batched group adds (scan), a
+(B-1)-wide gather via searchsorted, and one tree-reduce. No scatter, no
+data-dependent shapes, no bucket-occupancy assumptions — exact for any input
+including repeated digits, zero scalars and infinity points.
+
+Windows are vmapped in chunks (window_batch) to trade HBM footprint against
+parallelism. The final window combination (Horner over 2^c) is O(255) single
+point ops, done on host in exact arithmetic.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from curdleproofs_tpu.curve import G1
+from curdleproofs_tpu.fields import Fr
+from curdleproofs_tpu.ops import g1 as og
+from curdleproofs_tpu.ops import scan as oscan
+from curdleproofs_tpu.ops.g1 import APoints, JPoints
+
+FR_BITS = 255
+
+
+def extract_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(16, n) canonical Fr limbs -> (W, n) c-bit window digits (c <= 16)."""
+    if not 1 <= c <= 16:
+        raise ValueError("window size must be in [1, 16]")
+    W = -(-FR_BITS // c)
+    pad = jnp.zeros((2,) + scalars.shape[1:], dtype=scalars.dtype)
+    s = jnp.concatenate([scalars, pad], axis=0)
+    mask = jnp.uint32((1 << c) - 1)
+    rows = []
+    for w in range(W):
+        b0 = w * c
+        i0, off = divmod(b0, 16)
+        v = s[i0] >> jnp.uint32(off)
+        if off + c > 16:
+            v = v | (s[i0 + 1] << jnp.uint32(16 - off))
+        rows.append(v & mask)
+    return jnp.stack(rows)
+
+
+def _window_partials(points: APoints, digits: jnp.ndarray, c: int):
+    """Per-window bucket-weighted sums for a chunk of windows.
+
+    points: (24, n) affine; digits: (wb, n) -> returns (scan_total (24,),
+    boundary_sums JPoints (24, wb)); caller assembles S_w on host.
+    """
+    B = 1 << c
+    order = jnp.argsort(digits, axis=-1)  # (wb, n)
+    sd = jnp.take_along_axis(digits, order, axis=-1)
+    px = points.x[:, order]  # (24, wb, n)
+    py = points.y[:, order]
+    pinf = points.inf[order]
+    jp = og.lift(APoints(px, py, pinf))
+    P = oscan.inclusive_scan(jp)  # (24, wb, n) prefix sums
+
+    ts = jnp.arange(B - 1, dtype=digits.dtype)  # buckets 0..B-2
+    e = jax.vmap(lambda row: jnp.searchsorted(row, ts, side="right"))(sd) - 1
+    mask = e >= 0  # (wb, B-1)
+    eg = jnp.clip(e, 0, None)
+    bx = jnp.take_along_axis(P.x, eg[None, :, :], axis=-1)
+    by = jnp.take_along_axis(P.y, eg[None, :, :], axis=-1)
+    bz = jnp.take_along_axis(P.z, eg[None, :, :], axis=-1)
+    boundary = og.jselect(mask, JPoints(bx, by, bz), oscan.jinf(e.shape))
+    bsums = oscan.tree_reduce_hybrid(boundary)  # (24, wb)
+    total = JPoints(P.x[:, 0, -1], P.y[:, 0, -1], P.z[:, 0, -1])  # (24,)
+    return total, bsums
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _pippenger_device(points: APoints, digits: jnp.ndarray, c: int):
+    return _window_partials(points, digits, c)
+
+
+def _combine_windows_host(
+    total: G1, bsums: List[G1], c: int, num_windows: int
+) -> G1:
+    """S = sum_w 2^{cw} * ((B-1)*total - bsums[w]), Horner, exact host math."""
+    B = 1 << c
+    big = total * Fr(B - 1)
+    wins = [big - s for s in bsums]
+    acc = G1.identity()
+    for w in reversed(range(num_windows)):
+        for _ in range(c):
+            acc = acc + acc
+        acc = acc + wins[w]
+    return acc
+
+
+def pick_window(n: int) -> int:
+    """Window size balancing scan work (2n per window) vs bucket reduce."""
+    if n <= 32:
+        return 4
+    if n <= 1024:
+        return 8
+    if n <= 1 << 16:
+        return 12
+    return 14
+
+
+def _pad_pow2_inputs(points: APoints, scalars: jnp.ndarray, min_width: int = 32):
+    """Pad to a power of two (>= min_width) so kernels compile for a small,
+    reusable set of shapes; identity bases / zero scalars are no-ops."""
+    n = points.x.shape[-1]
+    m = min_width
+    while m < n:
+        m *= 2
+    if m == n:
+        return points, scalars
+    zpad = jnp.zeros((points.x.shape[0], m - n), dtype=points.x.dtype)
+    spad = jnp.zeros((scalars.shape[0], m - n), dtype=scalars.dtype)
+    return (
+        APoints(
+            jnp.concatenate([points.x, zpad], axis=-1),
+            jnp.concatenate([points.y, zpad], axis=-1),
+            jnp.concatenate([points.inf, jnp.ones(m - n, dtype=bool)], axis=-1),
+        ),
+        jnp.concatenate([scalars, spad], axis=-1),
+    )
+
+
+def msm_pippenger(
+    points: APoints,
+    scalars: jnp.ndarray,
+    c: Optional[int] = None,
+    window_batch: Optional[int] = None,
+) -> G1:
+    """Full MSM: points (24, n) affine, scalars (16, n) canonical -> host G1."""
+    points, scalars = _pad_pow2_inputs(points, scalars)
+    n = points.x.shape[-1]
+    c = c or pick_window(n)
+    W = -(-FR_BITS // c)
+    if window_batch is None:
+        # bound the (24, wb, n) x 3-coord x scan-level working set to ~2 GB
+        window_batch = max(1, min(W, (1 << 21) // max(n, 1)))
+    digits = extract_digits(scalars, c)
+    total_host: Optional[G1] = None
+    bsums_host: List[G1] = []
+    for w0 in range(0, W, window_batch):
+        chunk = digits[w0 : w0 + window_batch]
+        if chunk.shape[0] != window_batch:  # keep a single compiled shape
+            pad = jnp.zeros((window_batch - chunk.shape[0], n), dtype=chunk.dtype)
+            chunk = jnp.concatenate([chunk, pad], axis=0)
+        total, bsums = _pippenger_device(points, chunk, c)
+        if total_host is None:
+            total_host = og.jpoints_to_host(total)[0]
+        bsums_host.extend(og.jpoints_to_host(bsums))
+    return _combine_windows_host(total_host, bsums_host[:W], c, W)
+
+
+def msm_naive(points: APoints, scalars: jnp.ndarray) -> G1:
+    """Ladder MSM (255-step scan + tree reduce); oracle/cross-check path."""
+    res = _msm_naive_device(points, scalars)
+    return og.unpack_points(res)[0]
+
+
+@jax.jit
+def _msm_naive_device(points: APoints, scalars: jnp.ndarray) -> APoints:
+    acc = og.scalar_mul(points, scalars)
+    single = oscan.tree_reduce_hybrid(acc)
+    return og.to_affine(single)
+
+
+def msm(
+    bases: Sequence[G1],
+    scalars: Sequence[Fr],
+    c: Optional[int] = None,
+) -> G1:
+    """Host-facing MSM over host points/scalars (compute_MSM equivalent)."""
+    if len(bases) != len(scalars):
+        raise ValueError("msm length mismatch")
+    if not bases:
+        return G1.identity()
+    pts = og.pack_points(list(bases))
+    scs = og.pack_scalars(list(scalars))
+    return msm_pippenger(pts, scs, c=c)

@@ -1,0 +1,94 @@
+"""MSM engine tests: Pippenger sort-scan vs naive ladder vs host oracle."""
+import random
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from curdleproofs_tpu.curve import G1, msm_host
+from curdleproofs_tpu.fields import FR_MOD, Fr
+from curdleproofs_tpu.ops import g1 as og
+from curdleproofs_tpu.ops import msm as omsm
+from curdleproofs_tpu.ops import scan as oscan
+
+rng = random.Random(0xABCD)
+
+
+def rand_points(n):
+    return [G1() * Fr(rng.randrange(1, FR_MOD)) for _ in range(n)]
+
+
+def rand_scalars(n):
+    return [Fr(rng.randrange(FR_MOD)) for _ in range(n)]
+
+
+def test_extract_digits_reconstructs_scalar():
+    scs = rand_scalars(6) + [Fr(0), Fr(FR_MOD - 1)]
+    for c in (4, 8, 13, 16):
+        digits = omsm.extract_digits(og.pack_scalars(scs), c)
+        W = digits.shape[0]
+        for j, s in enumerate(scs):
+            v = sum(int(digits[w, j]) << (c * w) for w in range(W))
+            assert v == s.v, f"c={c} scalar {j}"
+
+
+def test_pippenger_matches_oracle_with_edge_inputs():
+    n = 32
+    pts = rand_points(n)
+    scs = rand_scalars(n)
+    pts[0] = G1.identity()  # infinity base
+    scs[1] = Fr(0)  # zero scalar
+    pts[2] = pts[3]  # duplicate base (bucket doubling)
+    scs[4] = scs[5] = Fr(7)  # duplicate digits everywhere
+    pts[6] = -pts[7]
+    assert omsm.msm(pts, scs, c=4) == msm_host(pts, scs)
+
+
+def test_pippenger_various_window_sizes():
+    n = 16
+    pts, scs = rand_points(n), rand_scalars(n)
+    expect = msm_host(pts, scs)
+    for c in (4, 8, 11):
+        assert omsm.msm(pts, scs, c=c) == expect, f"c={c}"
+
+
+def test_pippenger_non_power_of_two_and_tiny():
+    for n in (1, 3, 60):
+        pts, scs = rand_points(n), rand_scalars(n)
+        assert omsm.msm(pts, scs, c=4) == msm_host(pts, scs), f"n={n}"
+
+
+def test_empty_msm():
+    assert omsm.msm([], []).is_identity()
+
+
+def test_naive_ladder_matches():
+    n = 8
+    pts, scs = rand_points(n), rand_scalars(n)
+    assert omsm.msm_naive(og.pack_points(pts), og.pack_scalars(scs)) == msm_host(
+        pts, scs
+    )
+
+
+def test_scan_recursive_path(monkeypatch):
+    # force the recursive Blelloch levels (SMALL_WIDTH below vector size)
+    monkeypatch.setattr(oscan, "SMALL_WIDTH", 4)
+    pts = rand_points(32)
+    jp = og.lift(og.pack_points(pts))
+    got = og.unpack_points(og._to_affine_jit(oscan.inclusive_scan(jp)))
+    acc = G1.identity()
+    for i, p in enumerate(pts):
+        acc = acc + p
+        assert got[i] == acc, f"prefix {i}"
+    total = og.unpack_points(og._to_affine_jit(oscan.tree_reduce_hybrid(jp)))[0]
+    assert total == acc
+
+
+def test_pippenger_small_window_batches():
+    # exercise the window-chunking path (window_batch < W)
+    n = 16
+    pts, scs = rand_points(n), rand_scalars(n)
+    got = omsm.msm_pippenger(
+        og.pack_points(pts), og.pack_scalars(scs), c=8, window_batch=3
+    )
+    assert got == msm_host(pts, scs)
