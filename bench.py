@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Headline benchmark: G1 MSM point-ops/s on one TPU chip at n=2^16.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Baseline target (BASELINE.md): >= 10M G1 point-ops/s/chip, where point-ops
+follow the canonical Pippenger cost model (n adds per c-bit window, W =
+ceil(255/c) windows per MSM).
+
+Env knobs: BENCH_N (default 65536), BENCH_C (window bits), BENCH_REPS,
+BENCH_UNROLL=1 to use unrolled limb graphs.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+if os.environ.get("BENCH_UNROLL"):
+    os.environ["CURDLEPROOFS_LIMB_UNROLL"] = os.environ["BENCH_UNROLL"]
+
+
+def main():
+    import jax
+
+    n = int(os.environ.get("BENCH_N", 1 << 16))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+
+    from curdleproofs_tpu.curve import G1, msm_host
+    from curdleproofs_tpu.fields import FR_MOD, Fr
+    from curdleproofs_tpu.ops import g1 as og
+    from curdleproofs_tpu.ops import msm as omsm
+
+    import hashlib
+
+    # deterministic inputs: incremental multiples of G (fast host build)
+    pts = []
+    acc = G1()
+    g7 = G1() * Fr(7)
+    for _ in range(n):
+        pts.append(acc)
+        acc = acc + g7
+    scs = [
+        Fr(int.from_bytes(hashlib.sha256(f"b{i}".encode()).digest(), "little") % FR_MOD)
+        for i in range(n)
+    ]
+
+    points = og.pack_points(pts)
+    scalars = og.pack_scalars(scs)
+    c = int(os.environ.get("BENCH_C", omsm.pick_window(n)))
+    W = -(-255 // c)
+
+    # correctness spot-check on a small prefix against the exact host oracle
+    small = 128
+    assert omsm.msm(pts[:small], scs[:small]) == msm_host(pts[:small], scs[:small]), (
+        "MSM correctness check failed"
+    )
+
+    # warmup (compile; persistent cache makes this cheap on reruns)
+    t0 = time.time()
+    res0 = omsm.msm_pippenger(points, scalars, c=c)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        res = omsm.msm_pippenger(points, scalars, c=c)
+        times.append(time.time() - t0)
+        assert res == res0, "nondeterministic MSM result"
+
+    t = min(times)
+    point_ops = n * W  # canonical Pippenger bucket-accumulation work
+    value = point_ops / t
+    out = {
+        "metric": "g1_msm_point_ops_per_s_per_chip",
+        "value": round(value),
+        "unit": "point-ops/s",
+        "vs_baseline": round(value / 10e6, 4),
+        "n": n,
+        "window_bits": c,
+        "windows": W,
+        "msm_wall_s": round(t, 4),
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+        "reps": reps,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Multi-device / multi-host sharded MSM.
+
+Points and digits are sharded across the mesh's point axis; every device runs
+the full local sort + prefix-scan + boundary-gather Pippenger pipeline on its
+shard (ops.msm._window_partials), producing per-shard window partials
+(one total + B-1 boundary prefix sums per window chunk — a few KB). Those are
+combined by linearity:
+
+    S_w = sum_shards [ (B-1) * total_shard  -  bsum_{shard, w} ]
+
+so the only cross-device data movement is the gather of per-shard partials —
+the TPU-native analog of the reference's absent distributed backend
+(SURVEY.md §2.3, §5: "bucket-sum all-reduce suffices").
+
+This module is exercised on a virtual 8-device CPU mesh in tests and by
+__graft_entry__.dryrun_multichip; on hardware the same code runs over ICI
+(single host) or ICI+DCN (jax.distributed multi-host).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from curdleproofs_tpu.curve import G1
+from curdleproofs_tpu.fields import Fr
+from curdleproofs_tpu.ops import g1 as og
+from curdleproofs_tpu.ops import msm as omsm
+from curdleproofs_tpu.ops.g1 import APoints, JPoints
+from curdleproofs_tpu.parallel.mesh import make_mesh
+
+FR_BITS = omsm.FR_BITS
+
+
+def _shard_kernel(points: APoints, digits: jnp.ndarray, c: int):
+    """Per-shard window partials, with a leading shard axis for gathering."""
+    total, bsums = omsm._window_partials(points, digits, c)
+    return total.x[None], total.y[None], total.z[None], bsums.x[None], bsums.y[None], bsums.z[None]
+
+
+def msm_sharded(
+    bases: Sequence[G1],
+    scalars: Sequence[Fr],
+    mesh: Optional[Mesh] = None,
+    c: Optional[int] = None,
+    window_batch: Optional[int] = None,
+    point_axis: str = "shard",
+) -> G1:
+    """MSM with the point dimension sharded across a device mesh."""
+    if len(bases) != len(scalars):
+        raise ValueError("msm length mismatch")
+    if not bases:
+        return G1.identity()
+    mesh = mesh or make_mesh()
+    D = mesh.shape[point_axis]
+
+    # pad so each shard gets an identical power-of-two local width >= 32
+    n = len(bases)
+    local = 32
+    while local * D < n:
+        local *= 2
+    m = local * D
+    pts_host = list(bases) + [G1.identity()] * (m - n)
+    scs_host = list(scalars) + [Fr(0)] * (m - n)
+    points = og.pack_points(pts_host)
+    scalars_l = og.pack_scalars(scs_host)
+
+    c = c or omsm.pick_window(local)
+    W = -(-FR_BITS // c)
+    if window_batch is None:
+        window_batch = max(1, min(W, (1 << 21) // max(local, 1)))
+    digits = omsm.extract_digits(scalars_l, c)
+
+    pspec = APoints(P(None, point_axis), P(None, point_axis), P(point_axis))
+    dspec = P(None, point_axis)
+    out_spec = (
+        P(point_axis, None),
+        P(point_axis, None),
+        P(point_axis, None),
+        P(point_axis, None, None),
+        P(point_axis, None, None),
+        P(point_axis, None, None),
+    )
+    kernel = shard_map(
+        partial(_shard_kernel, c=c),
+        mesh=mesh,
+        in_specs=(pspec, dspec),
+        out_specs=out_spec,
+        check_vma=False,  # per-shard results are intentionally not replicated
+    )
+    kernel = jax.jit(kernel)
+
+    totals_host: List[G1] = []
+    bsums_host: List[List[G1]] = []  # [shard][window]
+    for w0 in range(0, W, window_batch):
+        chunk = digits[w0 : w0 + window_batch]
+        if chunk.shape[0] != window_batch:
+            pad = jnp.zeros((window_batch - chunk.shape[0], m), dtype=chunk.dtype)
+            chunk = jnp.concatenate([chunk, pad], axis=0)
+        tx, ty, tz, bx, by, bz = kernel(points, chunk)
+        if not totals_host:
+            for s in range(D):
+                totals_host.append(
+                    og.jpoints_to_host(JPoints(tx[s], ty[s], tz[s]))[0]
+                )
+            bsums_host = [[] for _ in range(D)]
+        for s in range(D):
+            bsums_host[s].extend(og.jpoints_to_host(JPoints(bx[s], by[s], bz[s])))
+
+    # combine by linearity: S_w = sum_s ((B-1) * total_s - bsum_{s,w})
+    B = 1 << c
+    big = [t * Fr(B - 1) for t in totals_host]
+    wins: List[G1] = []
+    for w in range(W):
+        acc = G1.identity()
+        for s in range(D):
+            acc = acc + (big[s] - bsums_host[s][w])
+        wins.append(acc)
+
+    # Horner over windows
+    acc = G1.identity()
+    for w in reversed(range(W)):
+        for _ in range(c):
+            acc = acc + acc
+        acc = acc + wins[w]
+    return acc
