@@ -86,7 +86,7 @@ def lift(a: APoints) -> JPoints:
     return JPoints(a.x, a.y, z)
 
 
-def jdbl(p: JPoints) -> JPoints:
+def _jdbl_formulas(p: JPoints) -> JPoints:
     """Jacobian doubling, complete (infinity passes through via z=0)."""
     a = _sqr(p.x)
     b = _sqr(p.y)
@@ -102,7 +102,7 @@ def jdbl(p: JPoints) -> JPoints:
     return JPoints(x3, y3, z3)
 
 
-def jadd(p: JPoints, q: JPoints) -> JPoints:
+def _jadd_formulas(p: JPoints, q: JPoints) -> JPoints:
     """Complete Jacobian + Jacobian addition."""
     z1z1 = _sqr(p.z)
     z2z2 = _sqr(q.z)
@@ -122,10 +122,35 @@ def jadd(p: JPoints, q: JPoints) -> JPoints:
     res = JPoints(x3, y3, z3)
 
     dbl_case = _is0(h) & _is0(r) & ~is_inf(p) & ~is_inf(q)
-    res = jselect(dbl_case, jdbl(p), res)
+    res = jselect(dbl_case, _jdbl_formulas(p), res)
     res = jselect(is_inf(q), p, res)
     res = jselect(is_inf(p), q, res)
     return res
+
+
+def _lanes(p: JPoints) -> int:
+    n = 1
+    for d in p.x.shape[1:]:
+        n *= d
+    return n
+
+
+def jdbl(p: JPoints) -> JPoints:
+    """Jacobian doubling — dispatches to the fused Pallas kernel on TPU."""
+    from curdleproofs_tpu.ops import pallas_g1
+
+    if pallas_g1.enabled() and _lanes(p) >= pallas_g1.BLK:
+        return pallas_g1.jdbl(p)
+    return _jdbl_formulas(p)
+
+
+def jadd(p: JPoints, q: JPoints) -> JPoints:
+    """Complete Jacobian add — dispatches to the fused Pallas kernel on TPU."""
+    from curdleproofs_tpu.ops import pallas_g1
+
+    if pallas_g1.enabled() and _lanes(p) >= pallas_g1.BLK:
+        return pallas_g1.jadd(p, q)
+    return _jadd_formulas(p, q)
 
 
 def jmadd(p: JPoints, q: APoints) -> JPoints:

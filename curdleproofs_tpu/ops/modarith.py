@@ -29,18 +29,56 @@ from curdleproofs_tpu.ops.fieldspec import LIMB_BITS, LIMB_MASK, FieldSpec
 import os
 
 _U32 = jnp.uint32
-_MASK = jnp.uint32(LIMB_MASK)
-_SHIFT = jnp.uint32(LIMB_BITS)
+# Plain Python ints: they inline as jaxpr literals, which keeps kernel bodies
+# free of captured constant arrays (a Pallas requirement).
+_MASK = LIMB_MASK
+_SHIFT = LIMB_BITS
 
 # Graph-size/performance switch: "loop" builds tiny graphs (lax.scan/fori over
 # the limb axis — fast compiles, the right default off-TPU), "unroll" builds
 # fully unrolled limb graphs XLA can fuse aggressively. The Pallas kernels
-# supersede both for the hot paths on TPU.
+# force unrolled mode inside their bodies (everything lives in VMEM there).
 UNROLL = os.environ.get("CURDLEPROOFS_LIMB_UNROLL", "0") == "1"
+
+import contextlib
+
+
+@contextlib.contextmanager
+def force_unroll(value: bool = True):
+    """Trace-time override of the limb-loop unrolling mode."""
+    global UNROLL
+    prev = UNROLL
+    UNROLL = value
+    try:
+        yield
+    finally:
+        UNROLL = prev
 
 
 def _const(v) -> jnp.ndarray:
     return jnp.asarray(v, dtype=_U32)
+
+
+# Trace-time override: inside Pallas kernel bodies the modulus limb vector
+# must come in as a kernel argument instead of a captured constant array.
+_MOD_OVERRIDE: dict = {}
+
+
+@contextlib.contextmanager
+def mod_override(spec: FieldSpec, mod_arr):
+    _MOD_OVERRIDE[spec.name] = mod_arr
+    try:
+        yield
+    finally:
+        del _MOD_OVERRIDE[spec.name]
+
+
+def _mod_vec(spec: FieldSpec, ndim: int):
+    """(L, 1, ..) modulus limb vector broadcastable against (L, *B) values."""
+    ov = _MOD_OVERRIDE.get(spec.name)
+    if ov is not None:
+        return ov.reshape((spec.nlimbs,) + (1,) * (ndim - 1))
+    return _const(spec.mod_limbs).reshape((spec.nlimbs,) + (1,) * (ndim - 1))
 
 
 def _ripple_carry(cols) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -68,7 +106,7 @@ def _ripple_carry(cols) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _sub_borrow(a, b) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Limbwise a - b with borrow ripple. Returns ((L, *B) diff, borrow (*B,))."""
-    base = _const(1 << LIMB_BITS)
+    base = 1 << LIMB_BITS  # head-room term: v = a + 2^16 - b - borrow >= 0
     if UNROLL:
         L = a.shape[0]
         out = []
@@ -76,13 +114,13 @@ def _sub_borrow(a, b) -> Tuple[jnp.ndarray, jnp.ndarray]:
         for i in range(L):
             v = a[i] + base - b[i] - borrow
             out.append(v & _MASK)
-            borrow = jnp.uint32(1) - (v >> _SHIFT)
+            borrow = 1 - (v >> _SHIFT)
         return jnp.stack(out), borrow
 
     def body(borrow, ab):
         ai, bi = ab
         v = ai + base - bi - borrow
-        return jnp.uint32(1) - (v >> _SHIFT), v & _MASK
+        return 1 - (v >> _SHIFT), v & _MASK
 
     bb = jnp.broadcast_to(b, a.shape)
     borrow, diff = lax.scan(body, jnp.zeros_like(a[0]), (a, bb))
@@ -91,7 +129,7 @@ def _sub_borrow(a, b) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def add(spec: FieldSpec, a, b):
     """(a + b) mod p, canonical in/out."""
-    mod = _const(spec.mod_limbs).reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
+    mod = _mod_vec(spec, a.ndim)
     s, c = _ripple_carry(list(a + b))
     d, brw = _sub_borrow(s, mod)
     use_d = (c == 1) | (brw == 0)
@@ -100,7 +138,7 @@ def add(spec: FieldSpec, a, b):
 
 def sub(spec: FieldSpec, a, b):
     """(a - b) mod p, canonical in/out."""
-    mod = _const(spec.mod_limbs).reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
+    mod = _mod_vec(spec, a.ndim)
     d, brw = _sub_borrow(a, b)
     d2, _ = _ripple_carry(list(d + mod))
     return jnp.where(brw == 1, d2, d)
@@ -137,16 +175,56 @@ def mont_mul(spec: FieldSpec, a, b):
     Column accumulators stay < 2^23 (L<=24 lo+hi 16-bit terms per column plus
     pivot carries), well inside uint32.
     """
+    if spec.name in _MOD_OVERRIDE:
+        # inside a Pallas kernel body: no scatter/DUS primitives available,
+        # use the pure-elementwise column-list formulation
+        return _mont_mul_cols(spec, a, b)
     if UNROLL:
         return _mont_mul_unrolled(spec, a, b)
     return _mont_mul_looped(spec, a, b)
 
 
+def _mont_mul_cols(spec: FieldSpec, a, b):
+    """Same dataflow as _mont_mul_unrolled, but the 2L+1 column accumulators
+    are individual (*B,) arrays combined with plain adds — no .at[] updates,
+    so the whole body lowers inside Pallas TPU kernels (everything stays in
+    VMEM/registers there)."""
+    L = spec.nlimbs
+    n0inv = spec.n0inv
+    modv = _mod_vec(spec, a.ndim)
+    zero = jnp.zeros_like(a[0])
+
+    t = [zero] * (2 * L + 1)
+    for i in range(L):
+        p = a[i][None, ...] * b  # (L, *B)
+        lo = p & _MASK
+        hi = p >> _SHIFT
+        for j in range(L):
+            t[i + j] = t[i + j] + lo[j]
+            t[i + j + 1] = t[i + j + 1] + hi[j]
+
+    for i in range(L):
+        m = (t[i] * n0inv) & _MASK
+        pm = m[None, ...] * modv  # (L, *B)
+        lo = pm & _MASK
+        hi = pm >> _SHIFT
+        for j in range(L):
+            t[i + j] = t[i + j] + lo[j]
+            t[i + j + 1] = t[i + j + 1] + hi[j]
+        t[i + 1] = t[i + 1] + (t[i] >> _SHIFT)
+
+    res, carry = _ripple_carry(t[L : 2 * L])
+    top = t[2 * L] + carry
+    d, brw = _sub_borrow(res, jnp.broadcast_to(modv, res.shape))
+    use_d = (top > 0) | (brw == 0)
+    return jnp.where(use_d, d, res)
+
+
 def _mont_mul_unrolled(spec: FieldSpec, a, b):
     L = spec.nlimbs
-    n0inv = _const(spec.n0inv)
+    n0inv = spec.n0inv  # python int -> jaxpr literal
     batch_shape = a.shape[1:]
-    modv = _const(spec.mod_limbs).reshape((L,) + (1,) * len(batch_shape))
+    modv = _mod_vec(spec, a.ndim)
 
     # --- wide multiply: column accumulators t[0..2L] -----------------------
     t = jnp.zeros((2 * L + 1,) + batch_shape, dtype=_U32)
@@ -171,9 +249,9 @@ def _mont_mul_looped(spec: FieldSpec, a, b):
     """Same dataflow as _mont_mul_unrolled but with the limb loops as
     lax.fori_loop — a ~20x smaller graph, the default off-TPU."""
     L = spec.nlimbs
-    n0inv = _const(spec.n0inv)
+    n0inv = spec.n0inv  # python int -> jaxpr literal
     batch_shape = a.shape[1:]
-    modv = _const(spec.mod_limbs).reshape((L,) + (1,) * len(batch_shape))
+    modv = _mod_vec(spec, a.ndim)
     bb = jnp.broadcast_to(b, a.shape)
     zrow = jnp.zeros((1,) + batch_shape, dtype=_U32)
     modb = jnp.broadcast_to(modv, a.shape)

@@ -143,6 +143,25 @@ def msm_pippenger(
     window_batch: Optional[int] = None,
 ) -> G1:
     """Full MSM: points (24, n) affine, scalars (16, n) canonical -> host G1."""
+    from curdleproofs_tpu.utils.profiling import timed
+
+    n_in = points.x.shape[-1]
+    c_est = c or pick_window(max(n_in, 32))
+    W_est = -(-FR_BITS // c_est)
+    with timed(
+        "msm.pippenger",
+        items=n_in,
+        point_ops=W_est * (2 * n_in + (1 << c_est)) + 255,
+    ):
+        return _msm_pippenger_impl(points, scalars, c, window_batch)
+
+
+def _msm_pippenger_impl(
+    points: APoints,
+    scalars: jnp.ndarray,
+    c: Optional[int] = None,
+    window_batch: Optional[int] = None,
+) -> G1:
     points, scalars = _pad_pow2_inputs(points, scalars)
     n = points.x.shape[-1]
     c = c or pick_window(n)

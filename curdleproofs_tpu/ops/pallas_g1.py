@@ -1,0 +1,141 @@
+"""Fused Pallas TPU kernels for batched G1 point operations.
+
+The XLA limb path (ops.modarith looped/unrolled) streams every intermediate
+field element through HBM; a complete Jacobian add is ~30 Montgomery muls, so
+the op is memory-bound long before the VPU saturates. These kernels fuse the
+ENTIRE point operation into one Pallas program per (24, BLK) lane tile:
+inputs are DMA'd to VMEM once, all ~10^2 limb-vector intermediates live in
+VMEM/registers, and only the 3 result coordinates go back to HBM — pushing
+the op to the VPU compute roof (pallas_guide.md: HBM->VMEM->compute).
+
+The kernel bodies reuse the exact jnp formula code from ops.g1/ops.modarith
+(forced into unrolled mode), so correctness is inherited from the tested XLA
+path; tests additionally run these kernels in interpreter mode on CPU.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU memory spaces; absent on pure-CPU installs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+from curdleproofs_tpu.ops import modarith as ma
+from curdleproofs_tpu.ops.fieldspec import FQ_SPEC
+
+BLK = 512  # lanes per tile: 24x512 u32 = 48 KB per coordinate buffer
+
+_FORCE = os.environ.get("CURDLEPROOFS_PALLAS", "auto")
+
+
+def enabled() -> bool:
+    if _FORCE == "1":
+        return True
+    if _FORCE == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _spec():
+    if _VMEM is None:
+        return pl.BlockSpec((24, BLK), lambda i: (0, i))
+    return pl.BlockSpec((24, BLK), lambda i: (0, i), memory_space=_VMEM)
+
+
+def _flatten(arrs):
+    """(24, *B) -> (24, N) padded to a BLK multiple; returns (flats, shape, n)."""
+    shape = arrs[0].shape
+    n = 1
+    for d in shape[1:]:
+        n *= d
+    m = -(-max(n, 1) // BLK) * BLK
+    out = []
+    for a in arrs:
+        f = a.reshape(24, n)
+        if m != n:
+            f = jnp.pad(f, ((0, 0), (0, m - n)))
+        out.append(f)
+    return out, shape, n
+
+
+def _unflatten(arrs, shape, n):
+    return [a[:, :n].reshape(shape) for a in arrs]
+
+
+def _mod_spec():
+    """The 24-limb Fq modulus rides along as a (24, 1) kernel input (Pallas
+    forbids captured constant arrays)."""
+    if _VMEM is None:
+        return pl.BlockSpec((24, 1), lambda i: (0, 0))
+    return pl.BlockSpec((24, 1), lambda i: (0, 0), memory_space=_VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_kernel(n_in: int, body_name: str):
+    """pallas_call for an elementwise point op with n_in/3 coordinate inputs."""
+    from curdleproofs_tpu.ops import g1 as og
+
+    bodies = {
+        "jadd": lambda v: og._jadd_formulas(
+            og.JPoints(v[0], v[1], v[2]), og.JPoints(v[3], v[4], v[5])
+        ),
+        "jdbl": lambda v: og._jdbl_formulas(og.JPoints(v[0], v[1], v[2])),
+    }
+    body = bodies[body_name]
+
+    def kernel(mod_ref, *refs):
+        ins = [r[:] for r in refs[:n_in]]
+        with ma.force_unroll(), ma.mod_override(FQ_SPEC, mod_ref[:, 0]):
+            res = body(ins)
+        refs[n_in][:] = res.x
+        refs[n_in + 1][:] = res.y
+        refs[n_in + 2][:] = res.z
+
+    def call(*flat_ins):
+        m = flat_ins[0].shape[-1]
+        grid = (m // BLK,)
+        out_shape = [jax.ShapeDtypeStruct((24, m), jnp.uint32)] * 3
+        mod = jnp.asarray(FQ_SPEC.mod_limbs, dtype=jnp.uint32).reshape(24, 1)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[_mod_spec()] + [_spec()] * n_in,
+            out_specs=[_spec()] * 3,
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(mod, *flat_ins)
+
+    return call
+
+
+def jadd(p, q):
+    """Fused complete Jacobian + Jacobian add on (24, *B) coords."""
+    from curdleproofs_tpu.ops.g1 import JPoints
+
+    flats, shape, n = _flatten([p.x, p.y, p.z, q.x, q.y, q.z])
+    outs = _build_kernel(6, "jadd")(*flats)
+    x, y, z = _unflatten(outs, shape, n)
+    return JPoints(x, y, z)
+
+
+def jdbl(p):
+    """Fused Jacobian doubling on (24, *B) coords."""
+    from curdleproofs_tpu.ops.g1 import JPoints
+
+    flats, shape, n = _flatten([p.x, p.y, p.z])
+    outs = _build_kernel(3, "jdbl")(*flats)
+    x, y, z = _unflatten(outs, shape, n)
+    return JPoints(x, y, z)
