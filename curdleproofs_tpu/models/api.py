@@ -14,6 +14,7 @@ from curdleproofs_tpu.models.shuffle import (
     CurdleProofsProof,
     VerifierInput,
     shuffle_permute_and_commit_input,
+    verify_shuffle_proofs,
 )
 from curdleproofs_tpu.models.whisk import (
     BLSPubkey,
@@ -42,6 +43,7 @@ __all__ = [
     "CurdleProofsProof",
     "VerifierInput",
     "shuffle_permute_and_commit_input",
+    "verify_shuffle_proofs",
     "BLSPubkey",
     "GenerateWhiskShuffleProof",
     "GenerateWhiskTrackerProof",

@@ -173,10 +173,19 @@ class CurdleProofsProof:
         vec_U: List[G1],
         M: G1,
         rng: Optional[ProofRng] = None,
+        msm_accumulator: Optional[MSMAccumulator] = None,
     ) -> None:
+        """Verify; raises VerificationError on failure.
+
+        When `msm_accumulator` is supplied the final batched MSM check is
+        DEFERRED to the caller (who must call accumulator.verify()) — this is
+        how many proofs amortize into one big MSM (verify_shuffle_proofs).
+        """
         ell = len(vec_R)
         transcript = CurdleproofsTranscript(b"curdleproofs")
-        msm_accumulator = MSMAccumulator(rng=rng)
+        deferred = msm_accumulator is not None
+        if msm_accumulator is None:
+            msm_accumulator = MSMAccumulator(rng=rng)
 
         if vec_T[0].is_identity():
             raise VerificationError("vec_T[0] is the identity point")
@@ -234,7 +243,8 @@ class CurdleProofsProof:
 
         msm_accumulator.accumulate_check(self.R, vec_R, vec_a)
         msm_accumulator.accumulate_check(self.S, vec_S, vec_a)
-        msm_accumulator.verify()
+        if not deferred:
+            msm_accumulator.verify()
 
     # -- serde (curdleproofs.py:250-298) ------------------------------------
 
@@ -289,6 +299,30 @@ class CurdleProofsProof:
             same_scalar_proof=SameScalarProof.from_bytes(b),
             same_msm_proof=SameMSMProof.from_bytes(b, n),
         )
+
+
+def verify_shuffle_proofs(
+    crs: CurdleproofsCrs,
+    instances: List[Tuple["CurdleProofsProof", "VerifierInput"]],
+    rng: Optional[ProofRng] = None,
+) -> None:
+    """Batched verification: N proofs share ONE MSM accumulator, so all
+    their verifier equations collapse into a single large device MSM
+    (BASELINE config 4: '64 proofs via one aggregated MSM'). Soundness is
+    preserved by the accumulator's per-check random linear combination.
+    Raises VerificationError if any proof fails."""
+    acc = MSMAccumulator(rng=rng)
+    for proof, vi in instances:
+        proof.verify(
+            crs,
+            vi.vec_R,
+            vi.vec_S,
+            vi.vec_T,
+            vi.vec_U,
+            vi.M,
+            msm_accumulator=acc,
+        )
+    acc.verify()
 
 
 def shuffle_permute_and_commit_input(

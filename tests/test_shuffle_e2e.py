@@ -126,6 +126,48 @@ def test_proof_serde_round_trip(shuffle_instance):
     assert vi2.vec_R == vec_R and vi2.M == M
 
 
+def test_batched_verification(shuffle_instance):
+    from curdleproofs_tpu.models.shuffle import verify_shuffle_proofs
+
+    crs, vec_R, vec_S, vec_T, vec_U, M, proof = shuffle_instance
+    # a second independent proof over the same CRS
+    rng = ProofRng(77)
+    permutation = rng.permutation(ELL)
+    k = rng.random_scalar()
+    gen = G1()
+    vec_R2 = [gen * rng.random_scalar() for _ in range(ELL)]
+    vec_S2 = [gen * rng.random_scalar() for _ in range(ELL)]
+    vec_T2, vec_U2, M2, m_blinders2 = shuffle_permute_and_commit_input(
+        crs, vec_R2, vec_S2, permutation, k, rng
+    )
+    proof2 = CurdleProofsProof.new(
+        crs=crs,
+        vec_R=vec_R2,
+        vec_S=vec_S2,
+        vec_T=vec_T2,
+        vec_U=vec_U2,
+        M=M2,
+        permutation=permutation,
+        k=k,
+        vec_m_blinders=m_blinders2,
+        rng=rng,
+    )
+
+    instances = [
+        (proof, VerifierInput(vec_R, vec_S, vec_T, vec_U, M)),
+        (proof2, VerifierInput(vec_R2, vec_S2, vec_T2, vec_U2, M2)),
+    ]
+    verify_shuffle_proofs(crs, instances)  # one aggregated MSM for both
+
+    # one bad instance poisons the batch
+    bad = [
+        instances[0],
+        (proof2, VerifierInput(vec_S2, vec_R2, vec_T2, vec_U2, M2)),
+    ]
+    with pytest.raises(ProofError):
+        verify_shuffle_proofs(crs, bad)
+
+
 def test_whisk_shuffle_proof_api():
     rng = ProofRng(33)
     crs = CurdleproofsCrs.new(ELL, N_BLINDERS, rng)
