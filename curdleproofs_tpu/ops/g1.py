@@ -79,7 +79,7 @@ def is_inf(p: JPoints):
 
 def lift(a: APoints) -> JPoints:
     """Affine -> Jacobian (z = 1 in Montgomery form, masked by inf)."""
-    one = jnp.asarray(FQ_SPEC.one_mont, dtype=jnp.uint32).reshape(
+    one = ma.get_const("fq_one_mont", FQ_SPEC.one_mont).reshape(
         (FQ_LIMBS,) + (1,) * (a.x.ndim - 1)
     )
     z = jnp.where(a.inf[None], jnp.zeros_like(a.x), jnp.broadcast_to(one, a.x.shape))
@@ -153,7 +153,7 @@ def jadd(p: JPoints, q: JPoints) -> JPoints:
     return _jadd_formulas(p, q)
 
 
-def jmadd(p: JPoints, q: APoints) -> JPoints:
+def _jmadd_formulas(p: JPoints, q: APoints) -> JPoints:
     """Complete Jacobian + affine mixed addition (madd-2007-bl)."""
     z1z1 = _sqr(p.z)
     u2 = _mul(q.x, z1z1)
@@ -170,10 +170,19 @@ def jmadd(p: JPoints, q: APoints) -> JPoints:
     res = JPoints(x3, y3, z3)
 
     dbl_case = _is0(h) & _is0(r) & ~is_inf(p) & ~q.inf
-    res = jselect(dbl_case, jdbl(p), res)
+    res = jselect(dbl_case, _jdbl_formulas(p), res)
     res = jselect(q.inf, p, res)
     res = jselect(is_inf(p), lift(q), res)
     return res
+
+
+def jmadd(p: JPoints, q: APoints) -> JPoints:
+    """Complete mixed add — dispatches to the fused Pallas kernel on TPU."""
+    from curdleproofs_tpu.ops import pallas_g1
+
+    if pallas_g1.enabled() and _lanes(p) >= pallas_g1.BLK:
+        return pallas_g1.jmadd(p, q)
+    return _jmadd_formulas(p, q)
 
 
 def jneg(p: JPoints) -> JPoints:

@@ -59,26 +59,41 @@ def _const(v) -> jnp.ndarray:
     return jnp.asarray(v, dtype=_U32)
 
 
-# Trace-time override: inside Pallas kernel bodies the modulus limb vector
-# must come in as a kernel argument instead of a captured constant array.
-_MOD_OVERRIDE: dict = {}
+# Trace-time overrides: inside Pallas kernel bodies constant limb vectors
+# (modulus, Montgomery one, ...) must come in as kernel arguments instead of
+# captured constant arrays. Keys: "<specname>_mod", "fq_one_mont", ...
+_CONST_OVERRIDE: dict = {}
 
 
 @contextlib.contextmanager
-def mod_override(spec: FieldSpec, mod_arr):
-    _MOD_OVERRIDE[spec.name] = mod_arr
+def const_override(**arrays):
+    _CONST_OVERRIDE.update(arrays)
     try:
         yield
     finally:
-        del _MOD_OVERRIDE[spec.name]
+        for k in arrays:
+            del _CONST_OVERRIDE[k]
+
+
+def mod_override(spec: FieldSpec, mod_arr):
+    return const_override(**{f"{spec.name}_mod": mod_arr})
+
+
+def get_const(key: str, default_np):
+    """Overridable constant limb vector (L,)."""
+    ov = _CONST_OVERRIDE.get(key)
+    return ov if ov is not None else _const(default_np)
+
+
+def in_kernel(spec: FieldSpec) -> bool:
+    return f"{spec.name}_mod" in _CONST_OVERRIDE
 
 
 def _mod_vec(spec: FieldSpec, ndim: int):
     """(L, 1, ..) modulus limb vector broadcastable against (L, *B) values."""
-    ov = _MOD_OVERRIDE.get(spec.name)
-    if ov is not None:
-        return ov.reshape((spec.nlimbs,) + (1,) * (ndim - 1))
-    return _const(spec.mod_limbs).reshape((spec.nlimbs,) + (1,) * (ndim - 1))
+    return get_const(f"{spec.name}_mod", spec.mod_limbs).reshape(
+        (spec.nlimbs,) + (1,) * (ndim - 1)
+    )
 
 
 def _ripple_carry(cols) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -175,7 +190,7 @@ def mont_mul(spec: FieldSpec, a, b):
     Column accumulators stay < 2^23 (L<=24 lo+hi 16-bit terms per column plus
     pivot carries), well inside uint32.
     """
-    if spec.name in _MOD_OVERRIDE:
+    if in_kernel(spec):
         # inside a Pallas kernel body: no scatter/DUS primitives available,
         # use the pure-elementwise column-list formulation
         return _mont_mul_cols(spec, a, b)

@@ -184,23 +184,41 @@ def _msm_pippenger_impl(
     return _combine_windows_host(total_host, bsums_host[:W], c, W)
 
 
+def msm_ladder(points: APoints, scalars: jnp.ndarray) -> G1:
+    """Ladder MSM: 255 masked double-add steps at full batch width + tree
+    reduce. Zero sorts/gathers — every step is a fused Pallas point op at
+    maximal VPU occupancy, so despite the higher op count this beats the
+    sort-based Pippenger on TPU for large n (XLA sort/gather dominate there).
+    """
+    from curdleproofs_tpu.utils.profiling import timed
+
+    n = points.x.shape[-1]
+    with timed("msm.ladder", items=n, point_ops=2 * 255 * n + n):
+        res = _msm_ladder_device(points, scalars)
+        return og.jpoints_to_host(res)[0]
+
+
+# backwards-compatible alias (oracle/cross-check path in tests)
 def msm_naive(points: APoints, scalars: jnp.ndarray) -> G1:
-    """Ladder MSM (255-step scan + tree reduce); oracle/cross-check path."""
-    res = _msm_naive_device(points, scalars)
-    return og.unpack_points(res)[0]
+    return msm_ladder(points, scalars)
 
 
 @jax.jit
-def _msm_naive_device(points: APoints, scalars: jnp.ndarray) -> APoints:
+def _msm_ladder_device(points: APoints, scalars: jnp.ndarray) -> og.JPoints:
     acc = og.scalar_mul(points, scalars)
-    single = oscan.tree_reduce_hybrid(acc)
-    return og.to_affine(single)
+    return oscan.tree_reduce_hybrid(acc)
+
+
+# Above this size the gather-free ladder wins on TPU; below it the sort-based
+# Pippenger's ~25x lower op count and ~25 sequential steps win.
+LADDER_THRESHOLD = 2048
 
 
 def msm(
     bases: Sequence[G1],
     scalars: Sequence[Fr],
     c: Optional[int] = None,
+    method: str = "auto",
 ) -> G1:
     """Host-facing MSM over host points/scalars (compute_MSM equivalent)."""
     if len(bases) != len(scalars):
@@ -209,4 +227,9 @@ def msm(
         return G1.identity()
     pts = og.pack_points(list(bases))
     scs = og.pack_scalars(list(scalars))
+    if method == "auto":
+        method = "ladder" if len(bases) > LADDER_THRESHOLD else "pippenger"
+    if method == "ladder":
+        pts, scs = _pad_pow2_inputs(pts, scs)
+        return msm_ladder(pts, scs)
     return msm_pippenger(pts, scs, c=c)

@@ -75,48 +75,78 @@ def _unflatten(arrs, shape, n):
     return [a[:, :n].reshape(shape) for a in arrs]
 
 
-def _mod_spec():
-    """The 24-limb Fq modulus rides along as a (24, 1) kernel input (Pallas
-    forbids captured constant arrays)."""
+def _const_spec():
+    """Constant limb vectors ride along as a (24, 2) kernel input — col 0 the
+    Fq modulus, col 1 Montgomery one (Pallas forbids captured const arrays)."""
     if _VMEM is None:
-        return pl.BlockSpec((24, 1), lambda i: (0, 0))
-    return pl.BlockSpec((24, 1), lambda i: (0, 0), memory_space=_VMEM)
+        return pl.BlockSpec((24, 2), lambda i: (0, 0))
+    return pl.BlockSpec((24, 2), lambda i: (0, 0), memory_space=_VMEM)
+
+
+def _row_spec():
+    """(1, BLK) uint32 row input (infinity masks)."""
+    if _VMEM is None:
+        return pl.BlockSpec((1, BLK), lambda i: (0, i))
+    return pl.BlockSpec((1, BLK), lambda i: (0, i), memory_space=_VMEM)
+
+
+import numpy as np
+
+_CONSTS = None
+
+
+def _consts_arr():
+    global _CONSTS
+    if _CONSTS is None:
+        _CONSTS = jnp.asarray(
+            np.stack([FQ_SPEC.mod_limbs, FQ_SPEC.one_mont], axis=1),
+            dtype=jnp.uint32,
+        )
+    return _CONSTS
 
 
 @functools.lru_cache(maxsize=None)
-def _build_kernel(n_in: int, body_name: str):
-    """pallas_call for an elementwise point op with n_in/3 coordinate inputs."""
+def _build_kernel(n_in: int, n_rows: int, body_name: str):
+    """pallas_call for an elementwise point op: n_in (24, BLK) coordinate
+    inputs + n_rows (1, BLK) uint32 mask rows, 3 coordinate outputs."""
     from curdleproofs_tpu.ops import g1 as og
 
     bodies = {
-        "jadd": lambda v: og._jadd_formulas(
+        "jadd": lambda v, r: og._jadd_formulas(
             og.JPoints(v[0], v[1], v[2]), og.JPoints(v[3], v[4], v[5])
         ),
-        "jdbl": lambda v: og._jdbl_formulas(og.JPoints(v[0], v[1], v[2])),
+        "jdbl": lambda v, r: og._jdbl_formulas(og.JPoints(v[0], v[1], v[2])),
+        "jmadd": lambda v, r: og._jmadd_formulas(
+            og.JPoints(v[0], v[1], v[2]),
+            og.APoints(v[3], v[4], r[0][0] != 0),
+        ),
     }
     body = bodies[body_name]
 
-    def kernel(mod_ref, *refs):
+    def kernel(const_ref, *refs):
         ins = [r[:] for r in refs[:n_in]]
-        with ma.force_unroll(), ma.mod_override(FQ_SPEC, mod_ref[:, 0]):
-            res = body(ins)
-        refs[n_in][:] = res.x
-        refs[n_in + 1][:] = res.y
-        refs[n_in + 2][:] = res.z
+        rows = [r[:] for r in refs[n_in : n_in + n_rows]]
+        with ma.force_unroll(), ma.const_override(
+            fq_mod=const_ref[:, 0], fq_one_mont=const_ref[:, 1]
+        ):
+            res = body(ins, rows)
+        base = n_in + n_rows
+        refs[base][:] = res.x
+        refs[base + 1][:] = res.y
+        refs[base + 2][:] = res.z
 
     def call(*flat_ins):
         m = flat_ins[0].shape[-1]
         grid = (m // BLK,)
         out_shape = [jax.ShapeDtypeStruct((24, m), jnp.uint32)] * 3
-        mod = jnp.asarray(FQ_SPEC.mod_limbs, dtype=jnp.uint32).reshape(24, 1)
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[_mod_spec()] + [_spec()] * n_in,
+            in_specs=[_const_spec()] + [_spec()] * n_in + [_row_spec()] * n_rows,
             out_specs=[_spec()] * 3,
             out_shape=out_shape,
             interpret=_interpret(),
-        )(mod, *flat_ins)
+        )(_consts_arr(), *flat_ins)
 
     return call
 
@@ -126,7 +156,7 @@ def jadd(p, q):
     from curdleproofs_tpu.ops.g1 import JPoints
 
     flats, shape, n = _flatten([p.x, p.y, p.z, q.x, q.y, q.z])
-    outs = _build_kernel(6, "jadd")(*flats)
+    outs = _build_kernel(6, 0, "jadd")(*flats)
     x, y, z = _unflatten(outs, shape, n)
     return JPoints(x, y, z)
 
@@ -136,6 +166,24 @@ def jdbl(p):
     from curdleproofs_tpu.ops.g1 import JPoints
 
     flats, shape, n = _flatten([p.x, p.y, p.z])
-    outs = _build_kernel(3, "jdbl")(*flats)
+    outs = _build_kernel(3, 0, "jdbl")(*flats)
+    x, y, z = _unflatten(outs, shape, n)
+    return JPoints(x, y, z)
+
+
+def jmadd(p, q):
+    """Fused complete Jacobian + affine mixed add on (24, *B) coords."""
+    from curdleproofs_tpu.ops.g1 import JPoints
+
+    flats, shape, n = _flatten([p.x, p.y, p.z, q.x, q.y])
+    batch = q.inf.shape
+    m = flats[0].shape[-1]
+    inf_flat = q.inf.astype(jnp.uint32).reshape(1, -1)
+    if inf_flat.shape[-1] != m:
+        # pad lanes as infinity so the garbage result is q-absent (= p)
+        inf_flat = jnp.pad(
+            inf_flat, ((0, 0), (0, m - inf_flat.shape[-1])), constant_values=1
+        )
+    outs = _build_kernel(5, 1, "jmadd")(*flats, inf_flat)
     x, y, z = _unflatten(outs, shape, n)
     return JPoints(x, y, z)

@@ -34,3 +34,7 @@ def test_pallas_jadd_jdbl_interpret(monkeypatch):
 
     got2 = og.jpoints_to_host(jax.jit(pg.jdbl)(jp))
     assert got2 == [p + p for p in pts]
+
+    aq = og.pack_points(qts)
+    got3 = og.jpoints_to_host(jax.jit(pg.jmadd)(jp, aq))
+    assert got3 == [p + q for p, q in zip(pts, qts)]
