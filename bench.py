@@ -51,11 +51,13 @@ def main():
     W = -(-255 // c)
     method = os.environ.get("BENCH_METHOD", "ladder")
 
-    # correctness spot-check on a small prefix against the exact host oracle
+    # correctness spot-check on a small prefix against the exact host oracle,
+    # through the same method used for the timed runs
     small = 128
-    assert omsm.msm(pts[:small], scs[:small]) == msm_host(pts[:small], scs[:small]), (
-        "MSM correctness check failed"
-    )
+    expect_small = msm_host(pts[:small], scs[:small])
+    assert (
+        omsm.msm(pts[:small], scs[:small], method=method) == expect_small
+    ), "MSM correctness check failed"
 
     def run():
         if method == "ladder":

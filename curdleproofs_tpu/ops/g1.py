@@ -139,7 +139,7 @@ def jdbl(p: JPoints) -> JPoints:
     """Jacobian doubling — dispatches to the fused Pallas kernel on TPU."""
     from curdleproofs_tpu.ops import pallas_g1
 
-    if pallas_g1.enabled() and _lanes(p) >= pallas_g1.BLK:
+    if pallas_g1.enabled() and _lanes(p) >= pallas_g1.MIN_LANES:
         return pallas_g1.jdbl(p)
     return _jdbl_formulas(p)
 
@@ -148,7 +148,7 @@ def jadd(p: JPoints, q: JPoints) -> JPoints:
     """Complete Jacobian add — dispatches to the fused Pallas kernel on TPU."""
     from curdleproofs_tpu.ops import pallas_g1
 
-    if pallas_g1.enabled() and _lanes(p) >= pallas_g1.BLK:
+    if pallas_g1.enabled() and _lanes(p) >= pallas_g1.MIN_LANES:
         return pallas_g1.jadd(p, q)
     return _jadd_formulas(p, q)
 
@@ -180,7 +180,7 @@ def jmadd(p: JPoints, q: APoints) -> JPoints:
     """Complete mixed add — dispatches to the fused Pallas kernel on TPU."""
     from curdleproofs_tpu.ops import pallas_g1
 
-    if pallas_g1.enabled() and _lanes(p) >= pallas_g1.BLK:
+    if pallas_g1.enabled() and _lanes(p) >= pallas_g1.MIN_LANES:
         return pallas_g1.jmadd(p, q)
     return _jmadd_formulas(p, q)
 
@@ -213,7 +213,24 @@ def scalar_mul(points: APoints, scalars) -> JPoints:
     """Per-lane k_i * P_i, MSB-first double-and-add over 255 fixed steps.
 
     scalars: (16, *B) canonical (non-Montgomery) Fr limbs.
+    Dispatches to the fully-fused Pallas ladder kernel on TPU (the whole
+    255-step loop runs in VMEM).
     """
+    from curdleproofs_tpu.ops import pallas_g1
+
+    if pallas_g1.enabled() and _lanes_a(points) >= pallas_g1.MIN_LANES:
+        return pallas_g1.scalar_mul(points, scalars)
+    return _scalar_mul_xla(points, scalars)
+
+
+def _lanes_a(a: APoints) -> int:
+    n = 1
+    for d in a.x.shape[1:]:
+        n *= d
+    return n
+
+
+def _scalar_mul_xla(points: APoints, scalars) -> JPoints:
     batch_shape = points.x.shape[1:]
     acc0 = jinf(batch_shape)
 

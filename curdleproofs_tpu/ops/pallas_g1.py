@@ -33,6 +33,13 @@ from curdleproofs_tpu.ops import modarith as ma
 from curdleproofs_tpu.ops.fieldspec import FQ_SPEC
 
 BLK = 512  # lanes per tile: 24x512 u32 = 48 KB per coordinate buffer
+MIN_LANES = 128  # below this the XLA path wins (kernel launch overhead)
+
+
+def _pick_blk(n: int) -> int:
+    """Tile width: full-throughput 512-lane tiles for big vectors, one
+    128-lane tile for small (protocol-sized) vectors to keep latency low."""
+    return 512 if n >= 2048 else 128
 
 _FORCE = os.environ.get("CURDLEPROOFS_PALLAS", "auto")
 
@@ -49,19 +56,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _spec():
+def _spec(blk):
     if _VMEM is None:
-        return pl.BlockSpec((24, BLK), lambda i: (0, i))
-    return pl.BlockSpec((24, BLK), lambda i: (0, i), memory_space=_VMEM)
+        return pl.BlockSpec((24, blk), lambda i: (0, i))
+    return pl.BlockSpec((24, blk), lambda i: (0, i), memory_space=_VMEM)
 
 
-def _flatten(arrs):
-    """(24, *B) -> (24, N) padded to a BLK multiple; returns (flats, shape, n)."""
+def _flatten(arrs, blk):
+    """(24, *B) -> (24, N) padded to a blk multiple; returns (flats, shape, n)."""
     shape = arrs[0].shape
     n = 1
     for d in shape[1:]:
         n *= d
-    m = -(-max(n, 1) // BLK) * BLK
+    m = -(-max(n, 1) // blk) * blk
     out = []
     for a in arrs:
         f = a.reshape(24, n)
@@ -69,6 +76,13 @@ def _flatten(arrs):
             f = jnp.pad(f, ((0, 0), (0, m - n)))
         out.append(f)
     return out, shape, n
+
+
+def _total_lanes(x) -> int:
+    n = 1
+    for d in x.shape[1:]:
+        n *= d
+    return n
 
 
 def _unflatten(arrs, shape, n):
@@ -83,30 +97,28 @@ def _const_spec():
     return pl.BlockSpec((24, 2), lambda i: (0, 0), memory_space=_VMEM)
 
 
-def _row_spec():
-    """(1, BLK) uint32 row input (infinity masks)."""
+def _row_spec(blk):
+    """(1, blk) uint32 row input (infinity masks)."""
     if _VMEM is None:
-        return pl.BlockSpec((1, BLK), lambda i: (0, i))
-    return pl.BlockSpec((1, BLK), lambda i: (0, i), memory_space=_VMEM)
+        return pl.BlockSpec((1, blk), lambda i: (0, i))
+    return pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=_VMEM)
 
 
 import numpy as np
 
-_CONSTS = None
+_CONSTS_NP = np.stack([FQ_SPEC.mod_limbs, FQ_SPEC.one_mont], axis=1).astype(
+    np.uint32
+)
 
 
 def _consts_arr():
-    global _CONSTS
-    if _CONSTS is None:
-        _CONSTS = jnp.asarray(
-            np.stack([FQ_SPEC.mod_limbs, FQ_SPEC.one_mont], axis=1),
-            dtype=jnp.uint32,
-        )
-    return _CONSTS
+    # fresh conversion per call: caching a jnp array here would leak tracers
+    # when the first call happens inside a traced scope
+    return jnp.asarray(_CONSTS_NP)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_kernel(n_in: int, n_rows: int, body_name: str):
+def _build_kernel(n_in: int, n_rows: int, body_name: str, blk: int = BLK):
     """pallas_call for an elementwise point op: n_in (24, BLK) coordinate
     inputs + n_rows (1, BLK) uint32 mask rows, 3 coordinate outputs."""
     from curdleproofs_tpu.ops import g1 as og
@@ -137,13 +149,13 @@ def _build_kernel(n_in: int, n_rows: int, body_name: str):
 
     def call(*flat_ins):
         m = flat_ins[0].shape[-1]
-        grid = (m // BLK,)
+        grid = (m // blk,)
         out_shape = [jax.ShapeDtypeStruct((24, m), jnp.uint32)] * 3
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[_const_spec()] + [_spec()] * n_in + [_row_spec()] * n_rows,
-            out_specs=[_spec()] * 3,
+            in_specs=[_const_spec()] + [_spec(blk)] * n_in + [_row_spec(blk)] * n_rows,
+            out_specs=[_spec(blk)] * 3,
             out_shape=out_shape,
             interpret=_interpret(),
         )(_consts_arr(), *flat_ins)
@@ -155,8 +167,9 @@ def jadd(p, q):
     """Fused complete Jacobian + Jacobian add on (24, *B) coords."""
     from curdleproofs_tpu.ops.g1 import JPoints
 
-    flats, shape, n = _flatten([p.x, p.y, p.z, q.x, q.y, q.z])
-    outs = _build_kernel(6, 0, "jadd")(*flats)
+    blk = _pick_blk(_total_lanes(p.x))
+    flats, shape, n = _flatten([p.x, p.y, p.z, q.x, q.y, q.z], blk)
+    outs = _build_kernel(6, 0, "jadd", blk)(*flats)
     x, y, z = _unflatten(outs, shape, n)
     return JPoints(x, y, z)
 
@@ -165,8 +178,86 @@ def jdbl(p):
     """Fused Jacobian doubling on (24, *B) coords."""
     from curdleproofs_tpu.ops.g1 import JPoints
 
-    flats, shape, n = _flatten([p.x, p.y, p.z])
-    outs = _build_kernel(3, 0, "jdbl")(*flats)
+    blk = _pick_blk(_total_lanes(p.x))
+    flats, shape, n = _flatten([p.x, p.y, p.z], blk)
+    outs = _build_kernel(3, 0, "jdbl", blk)(*flats)
+    x, y, z = _unflatten(outs, shape, n)
+    return JPoints(x, y, z)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_ladder_kernel(blk: int):
+    """The ENTIRE 255-step double-and-add scalar multiplication as one Pallas
+    program per tile: points, scalars and the accumulator stay in VMEM for
+    all iterations — total HBM traffic is one read of the inputs and one
+    write of the result, ~250x less than per-step XLA dispatch."""
+    from jax import lax as jlax
+
+    from curdleproofs_tpu.ops import g1 as og
+
+    def kernel(const_ref, px, py, pinf, sc, ox, oy, oz):
+        with ma.force_unroll(), ma.const_override(
+            fq_mod=const_ref[:, 0], fq_one_mont=const_ref[:, 1]
+        ):
+            pts = og.APoints(px[:], py[:], pinf[:][0] != 0)
+            s = sc[:]
+            zero = jnp.zeros_like(px[:])
+            acc0 = (zero, zero, zero)  # z == 0: infinity
+
+            def body(i, acc3):
+                acc = og.JPoints(*acc3)
+                t = 254 - i
+                acc = og._jdbl_formulas(acc)
+                cand = og._jmadd_formulas(acc, pts)
+                limb = jlax.dynamic_index_in_dim(s, t // 16, axis=0, keepdims=False)
+                bit = (limb >> (t % 16).astype(jnp.uint32)) & jnp.uint32(1)
+                acc = og.jselect(bit == 1, cand, acc)
+                return (acc.x, acc.y, acc.z)
+
+            x, y, z = jlax.fori_loop(0, 255, body, acc0)
+        ox[:] = x
+        oy[:] = y
+        oz[:] = z
+
+    def sc_spec():
+        if _VMEM is None:
+            return pl.BlockSpec((16, blk), lambda i: (0, i))
+        return pl.BlockSpec((16, blk), lambda i: (0, i), memory_space=_VMEM)
+
+    def call(px, py, pinf_row, sc):
+        m = px.shape[-1]
+        grid = (m // blk,)
+        out_shape = [jax.ShapeDtypeStruct((24, m), jnp.uint32)] * 3
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[_const_spec(), _spec(blk), _spec(blk), _row_spec(blk), sc_spec()],
+            out_specs=[_spec(blk)] * 3,
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(_consts_arr(), px, py, pinf_row, sc)
+
+    return call
+
+
+def scalar_mul(points, scalars):
+    """Fused per-lane k_i * P_i over (24, *B) affine points; returns Jacobian.
+
+    scalars: (16, *B) canonical Fr limbs."""
+    from curdleproofs_tpu.ops.g1 import JPoints
+
+    blk = _pick_blk(_total_lanes(points.x))
+    flats, shape, n = _flatten([points.x, points.y], blk)
+    m = flats[0].shape[-1]
+    inf_flat = points.inf.astype(jnp.uint32).reshape(1, -1)
+    if inf_flat.shape[-1] != m:
+        inf_flat = jnp.pad(
+            inf_flat, ((0, 0), (0, m - inf_flat.shape[-1])), constant_values=1
+        )
+    sc_flat = scalars.reshape(16, -1)
+    if sc_flat.shape[-1] != m:
+        sc_flat = jnp.pad(sc_flat, ((0, 0), (0, m - sc_flat.shape[-1])))
+    outs = _build_ladder_kernel(blk)(flats[0], flats[1], inf_flat, sc_flat)
     x, y, z = _unflatten(outs, shape, n)
     return JPoints(x, y, z)
 
@@ -175,8 +266,8 @@ def jmadd(p, q):
     """Fused complete Jacobian + affine mixed add on (24, *B) coords."""
     from curdleproofs_tpu.ops.g1 import JPoints
 
-    flats, shape, n = _flatten([p.x, p.y, p.z, q.x, q.y])
-    batch = q.inf.shape
+    blk = _pick_blk(_total_lanes(p.x))
+    flats, shape, n = _flatten([p.x, p.y, p.z, q.x, q.y], blk)
     m = flats[0].shape[-1]
     inf_flat = q.inf.astype(jnp.uint32).reshape(1, -1)
     if inf_flat.shape[-1] != m:
@@ -184,6 +275,6 @@ def jmadd(p, q):
         inf_flat = jnp.pad(
             inf_flat, ((0, 0), (0, m - inf_flat.shape[-1])), constant_values=1
         )
-    outs = _build_kernel(5, 1, "jmadd")(*flats, inf_flat)
+    outs = _build_kernel(5, 1, "jmadd", blk)(*flats, inf_flat)
     x, y, z = _unflatten(outs, shape, n)
     return JPoints(x, y, z)
