@@ -79,7 +79,7 @@ def main():
     t = min(times)
     # group operations actually executed by the chosen algorithm
     if method == "ladder":
-        point_ops = 2 * 255 * n + n  # per-step dbl + masked add, plus reduce
+        point_ops = omsm.ladder_point_ops(n)
     else:
         point_ops = W * (2 * n + 3 * (1 << c)) + 255  # scan + bucket combine
     value = point_ops / t

@@ -184,6 +184,13 @@ def _msm_pippenger_impl(
     return _combine_windows_host(total_host, bsums_host[:W], c, W)
 
 
+def ladder_point_ops(n: int) -> int:
+    """Group operations executed by the windowed (w=3) ladder MSM:
+    255 doublings + 85 window adds + 6 table ops per lane, plus the tree
+    reduce."""
+    return (255 + 85 + 6) * n + n
+
+
 def msm_ladder(points: APoints, scalars: jnp.ndarray) -> G1:
     """Ladder MSM: 255 masked double-add steps at full batch width + tree
     reduce. Zero sorts/gathers — every step is a fused Pallas point op at
@@ -193,7 +200,7 @@ def msm_ladder(points: APoints, scalars: jnp.ndarray) -> G1:
     from curdleproofs_tpu.utils.profiling import timed
 
     n = points.x.shape[-1]
-    with timed("msm.ladder", items=n, point_ops=2 * 255 * n + n):
+    with timed("msm.ladder", items=n, point_ops=ladder_point_ops(n)):
         res = _msm_ladder_device(points, scalars)
         return og.jpoints_to_host(res)[0]
 

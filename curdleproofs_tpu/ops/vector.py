@@ -25,7 +25,9 @@ from curdleproofs_tpu.fields import Fr
 from curdleproofs_tpu.ops import g1 as og
 from curdleproofs_tpu.ops.g1 import APoints
 
-MIN_WIDTH = 32
+# Minimum padded width: matches the Pallas small-tile width so protocol-sized
+# vector ops always hit the fused kernels on TPU.
+MIN_WIDTH = 128
 
 
 def _pad_width(n: int) -> int:
