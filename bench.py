@@ -51,23 +51,25 @@ def main():
     W = -(-255 // c)
     method = os.environ.get("BENCH_METHOD", "ladder")
 
-    # correctness spot-check on a small prefix against the exact host oracle,
-    # through the same method used for the timed runs
-    small = 128
-    expect_small = msm_host(pts[:small], scs[:small])
-    assert (
-        omsm.msm(pts[:small], scs[:small], method=method) == expect_small
-    ), "MSM correctness check failed"
+    def run_with(pv, sv):
+        if method == "ladder":
+            return omsm.msm_ladder(pv, sv)
+        return omsm.msm_pippenger(pv, sv, c=c)
 
     def run():
-        if method == "ladder":
-            return omsm.msm_ladder(points, scalars)
-        return omsm.msm_pippenger(points, scalars, c=c)
+        return run_with(points, scalars)
 
     # warmup (compile; persistent cache makes this cheap on reruns)
     t0 = time.time()
     res0 = run()
     compile_s = time.time() - t0
+
+    # correctness check against the exact host oracle, REUSING the compiled
+    # full-width executable: first 128 scalars kept, the rest zeroed
+    small = 128
+    check_scs = scs[:small] + [Fr(0)] * (n - small)
+    got = run_with(points, og.pack_scalars(check_scs))
+    assert got == msm_host(pts[:small], scs[:small]), "MSM correctness check failed"
 
     times = []
     for _ in range(reps):

@@ -102,8 +102,19 @@ def _jdbl_formulas(p: JPoints) -> JPoints:
     return JPoints(x3, y3, z3)
 
 
-def _jadd_formulas(p: JPoints, q: JPoints) -> JPoints:
-    """Complete Jacobian + Jacobian addition."""
+def _jadd_formulas(
+    p: JPoints, q: JPoints, handle_doubling: bool = True
+) -> JPoints:
+    """Complete Jacobian + Jacobian addition.
+
+    handle_doubling=False drops the p == q branch (saves a fused doubling).
+    ONLY sound where that case is impossible — e.g. the windowed ladder's
+    table adds: acc = 8*prefix*P vs table d*P with d in [1,7] and k < r gives
+    8*prefix ≡ d (mod r) no solutions (d/8 non-integral; (r+d)/8 integral only
+    for d=7 needing a 252-bit prefix equal to (r+7)/8, i.e. k >= r; (2r+d)/8
+    needs 253 bits > max prefix width). Cancellation (p == -q) stays handled
+    for free via z3 = 0.
+    """
     z1z1 = _sqr(p.z)
     z2z2 = _sqr(q.z)
     u1 = _mul(p.x, z2z2)
@@ -121,8 +132,9 @@ def _jadd_formulas(p: JPoints, q: JPoints) -> JPoints:
     z3 = _mul(zz, h)  # h == 0 -> z3 == 0: P + (-P) lands on infinity for free
     res = JPoints(x3, y3, z3)
 
-    dbl_case = _is0(h) & _is0(r) & ~is_inf(p) & ~is_inf(q)
-    res = jselect(dbl_case, _jdbl_formulas(p), res)
+    if handle_doubling:
+        dbl_case = _is0(h) & _is0(r) & ~is_inf(p) & ~is_inf(q)
+        res = jselect(dbl_case, _jdbl_formulas(p), res)
     res = jselect(is_inf(q), p, res)
     res = jselect(is_inf(p), q, res)
     return res

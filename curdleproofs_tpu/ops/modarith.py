@@ -306,7 +306,51 @@ def _mont_finish(t, L, modv):
 
 
 def mont_sqr(spec: FieldSpec, a):
+    if in_kernel(spec):
+        return _mont_sqr_cols(spec, a)
     return mont_mul(spec, a, a)
+
+
+def _mont_sqr_cols(spec: FieldSpec, a):
+    """Squaring-specialized Montgomery product for Pallas kernel bodies:
+    off-diagonal limb products computed once and doubled (~300 multiplies vs
+    576). Column bounds: <= ~24 doubled 17-bit terms + diagonal + reduction
+    terms < 2^23, inside uint32."""
+    L = spec.nlimbs
+    n0inv = spec.n0inv
+    modv = _mod_vec(spec, a.ndim)
+    zero = jnp.zeros_like(a[0])
+
+    t = [zero] * (2 * L + 1)
+    for i in range(L):
+        # off-diagonal: 2 * a_i * a_j for j > i (shift-doubled 16-bit halves)
+        if i + 1 < L:
+            p = a[i][None, ...] * a[i + 1 :]
+            lo2 = (p & _MASK) << jnp.uint32(1)
+            hi2 = (p >> _SHIFT) << jnp.uint32(1)
+            for jj, j in enumerate(range(i + 1, L)):
+                t[i + j] = t[i + j] + lo2[jj]
+                t[i + j + 1] = t[i + j + 1] + hi2[jj]
+        # diagonal: a_i^2
+        d = a[i] * a[i]
+        t[2 * i] = t[2 * i] + (d & _MASK)
+        t[2 * i + 1] = t[2 * i + 1] + (d >> _SHIFT)
+
+    for i in range(L):
+        m = (t[i] * n0inv) & _MASK
+        pm = m[None, ...] * modv
+        lo = pm & _MASK
+        hi = pm >> _SHIFT
+        for j in range(L):
+            t[i + j] = t[i + j] + lo[j]
+            t[i + j + 1] = t[i + j + 1] + hi[j]
+        t[i + 1] = t[i + 1] + (t[i] >> _SHIFT)
+
+    res, carry = _ripple_carry(t[L : 2 * L])
+    top = t[2 * L] + carry
+    d2, brw = _sub_borrow(res, jnp.broadcast_to(modv, res.shape))
+    use_d = (top > 0) | (brw == 0)
+    return jnp.where(use_d, d2, res)
 
 
 def to_mont(spec: FieldSpec, a):

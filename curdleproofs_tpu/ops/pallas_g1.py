@@ -291,7 +291,11 @@ def _build_ladder_w3_kernel(blk: int):
                     tx = jnp.where(sel, T[k - 1].x, tx)
                     ty = jnp.where(sel, T[k - 1].y, ty)
                     tz = jnp.where(sel, T[k - 1].z, tz)
-                cand = og._jadd_formulas(acc, og.JPoints(tx, ty, tz))
+                # doubling branch provably unreachable here (see
+                # _jadd_formulas docstring) — saves a fused doubling per step
+                cand = og._jadd_formulas(
+                    acc, og.JPoints(tx, ty, tz), handle_doubling=False
+                )
                 acc = og.jselect(d == 0, acc, cand)
                 return (acc.x, acc.y, acc.z)
 
