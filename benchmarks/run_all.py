@@ -38,7 +38,7 @@ def build_trackers(ell, rng):
     return out
 
 
-def bench_shuffle(ell, n_blinders, seed):
+def bench_shuffle(ell, n_blinders, seed, warm=True):
     from curdleproofs_tpu.models.crs import CurdleproofsCrs
     from curdleproofs_tpu.models.whisk import (
         GenerateWhiskShuffleProof,
@@ -50,6 +50,15 @@ def bench_shuffle(ell, n_blinders, seed):
     crs = CurdleproofsCrs.new(ell, n_blinders, rng)
     pre = build_trackers(ell, rng)
 
+    cold_prove = cold_verify = None
+    if warm:  # first pass pays all jit compiles; report it separately
+        t0 = time.time()
+        post_w, proof_w = GenerateWhiskShuffleProof(crs, pre, rng)
+        cold_prove = round(time.time() - t0, 3)
+        t0 = time.time()
+        assert IsValidWhiskShuffleProof(crs, pre, post_w, proof_w)
+        cold_verify = round(time.time() - t0, 3)
+
     t0 = time.time()
     post, proof = GenerateWhiskShuffleProof(crs, pre, rng)
     prove_s = time.time() - t0
@@ -58,7 +67,11 @@ def bench_shuffle(ell, n_blinders, seed):
     ok = IsValidWhiskShuffleProof(crs, pre, post, proof)
     verify_s = time.time() - t0
     assert ok
-    return {"ell": ell, "prove_s": round(prove_s, 3), "verify_s": round(verify_s, 3)}
+    out = {"ell": ell, "prove_s": round(prove_s, 3), "verify_s": round(verify_s, 3)}
+    if cold_prove is not None:
+        out["cold_prove_s"] = cold_prove
+        out["cold_verify_s"] = cold_verify
+    return out
 
 
 def bench_msm_sweep(sizes, method):
@@ -96,7 +109,7 @@ def bench_msm_sweep(sizes, method):
         r1 = run()
         dt = time.time() - t0
         assert r0 == r1
-        ops = 2 * 255 * n + n if method == "ladder" else None
+        ops = omsm.ladder_point_ops(n) if method == "ladder" else None
         out.append(
             {
                 "n": n,
@@ -136,10 +149,13 @@ def bench_batch_verify(ell, n_blinders, k, seed):
         )
         instances.append((proof, VerifierInput(vec_R, vec_S, vec_T, vec_U, M)))
 
+    verify_shuffle_proofs(crs, instances)  # warmup (compiles)
     t0 = time.time()
     verify_shuffle_proofs(crs, instances)
     batch_s = time.time() - t0
 
+    for proof, vi in instances[:1]:
+        proof.verify(crs, vi.vec_R, vi.vec_S, vi.vec_T, vi.vec_U, vi.M)  # warm
     t0 = time.time()
     for proof, vi in instances:
         proof.verify(crs, vi.vec_R, vi.vec_S, vi.vec_T, vi.vec_U, vi.M)

@@ -221,6 +221,11 @@ def _msm_ladder_device(points: APoints, scalars: jnp.ndarray) -> og.JPoints:
 LADDER_THRESHOLD = 2048
 
 
+# Below this size exact host arithmetic beats a device dispatch round-trip
+# (e.g. the verifier's log(n)-sized L/R gamma combinations).
+HOST_THRESHOLD = 16
+
+
 def msm(
     bases: Sequence[G1],
     scalars: Sequence[Fr],
@@ -232,6 +237,10 @@ def msm(
         raise ValueError("msm length mismatch")
     if not bases:
         return G1.identity()
+    if method == "auto" and len(bases) <= HOST_THRESHOLD:
+        from curdleproofs_tpu.curve import msm_host
+
+        return msm_host(list(bases), list(scalars))
     pts = og.pack_points(list(bases))
     scs = og.pack_scalars(list(scalars))
     if method == "auto":
