@@ -103,3 +103,17 @@ def test_challenge_stream_differs_by_label_and_content():
     other.append(b"x", b"2")
     b = other.get_and_append_challenge(b"c1")
     assert a != b
+
+
+def test_sponge_constructions_vs_hashlib():
+    import hashlib
+
+    from curdleproofs_tpu.transcript import sponge
+
+    for data in (b"", b"abc", bytes(range(200)) * 2):
+        assert sponge.sha3_256(data) == hashlib.sha3_256(data).digest()
+        assert sponge.sha3_224(data) == hashlib.sha3_224(data).digest()
+        assert sponge.sha3_384(data) == hashlib.sha3_384(data).digest()
+        assert sponge.sha3_512(data) == hashlib.sha3_512(data).digest()
+        assert sponge.shake128(data, 64) == hashlib.shake_128(data).digest(64)
+        assert sponge.shake256(data, 200) == hashlib.shake_256(data).digest(200)
