@@ -165,8 +165,14 @@ def jadd(p: JPoints, q: JPoints) -> JPoints:
     return _jadd_formulas(p, q)
 
 
-def _jmadd_formulas(p: JPoints, q: APoints) -> JPoints:
-    """Complete Jacobian + affine mixed addition (madd-2007-bl)."""
+def _jmadd_formulas(
+    p: JPoints, q: APoints, handle_doubling: bool = True
+) -> JPoints:
+    """Complete Jacobian + affine mixed addition (madd-2007-bl).
+
+    handle_doubling=False is sound only where p == q (as points) is
+    impossible — e.g. odd-multiple table construction 2kP + P (equality would
+    force (2k-1)P = inf, i.e. P = inf, which the infinity selects handle)."""
     z1z1 = _sqr(p.z)
     u2 = _mul(q.x, z1z1)
     s2 = _mul(_mul(q.y, p.z), z1z1)
@@ -181,8 +187,9 @@ def _jmadd_formulas(p: JPoints, q: APoints) -> JPoints:
     z3 = _mul(_dbl(p.z), h)  # h == 0 -> infinity for free
     res = JPoints(x3, y3, z3)
 
-    dbl_case = _is0(h) & _is0(r) & ~is_inf(p) & ~q.inf
-    res = jselect(dbl_case, _jdbl_formulas(p), res)
+    if handle_doubling:
+        dbl_case = _is0(h) & _is0(r) & ~is_inf(p) & ~q.inf
+        res = jselect(dbl_case, _jdbl_formulas(p), res)
     res = jselect(q.inf, p, res)
     res = jselect(is_inf(p), lift(q), res)
     return res

@@ -185,24 +185,48 @@ def _msm_pippenger_impl(
 
 
 def ladder_point_ops(n: int) -> int:
-    """Group operations executed by the windowed (w=3) ladder MSM:
-    255 doublings + 85 window adds + 6 table ops per lane, plus the tree
-    reduce."""
-    return (255 + 85 + 6) * n + n
+    """Group operations executed per lane by the GLV dual-table (w=3) ladder
+    MSM: 129 doublings + 86 window adds + 6 table builds + 7 endomorphism
+    maps, plus the tree reduce."""
+    return (129 + 86 + 6 + 7) * n + n
 
 
 def msm_ladder(points: APoints, scalars: jnp.ndarray) -> G1:
-    """Ladder MSM: 255 masked double-add steps at full batch width + tree
-    reduce. Zero sorts/gathers — every step is a fused Pallas point op at
-    maximal VPU occupancy, so despite the higher op count this beats the
-    sort-based Pippenger on TPU for large n (XLA sort/gather dominate there).
-    """
+    """Ladder MSM: GLV-split scalars (ops.glv, host numpy), then 43 fused
+    triple-double + dual-table-add steps at full batch width + tree reduce.
+    Zero sorts/gathers — every step is a fused Pallas point op at maximal VPU
+    occupancy, so despite the higher op count this beats the sort-based
+    Pippenger on TPU (XLA sort/gather dominate there)."""
+    from curdleproofs_tpu.ops import pallas_g1
     from curdleproofs_tpu.utils.profiling import timed
 
     n = points.x.shape[-1]
     with timed("msm.ladder", items=n, point_ops=ladder_point_ops(n)):
-        res = _msm_ladder_device(points, scalars)
+        if pallas_g1.enabled():
+            from curdleproofs_tpu.ops import glv
+
+            # scalars may still be host numpy (protocol path) — asarray is
+            # then free; for device arrays it is the one required transfer
+            s1, neg1, s2 = glv.decompose(np.asarray(scalars).astype(np.uint64))
+            res = _glv_ladder_reduce(
+                points.x,
+                points.y,
+                points.inf,
+                jnp.asarray(neg1),
+                jnp.asarray(s1),
+                jnp.asarray(s2),
+            )
+        else:
+            res = _msm_ladder_device(points, scalars)
         return og.jpoints_to_host(res)[0]
+
+
+@jax.jit
+def _glv_ladder_reduce(px, py, pinf, neg1, s1, s2) -> "og.JPoints":
+    from curdleproofs_tpu.ops import pallas_g1
+
+    acc = pallas_g1.scalar_mul_glv(APoints(px, py, pinf), s1, neg1, s2)
+    return oscan.tree_reduce_hybrid(acc)
 
 
 # backwards-compatible alias (oracle/cross-check path in tests)
@@ -216,8 +240,10 @@ def _msm_ladder_device(points: APoints, scalars: jnp.ndarray) -> og.JPoints:
     return oscan.tree_reduce_hybrid(acc)
 
 
-# Above this size the gather-free ladder wins on TPU; below it the sort-based
-# Pippenger's ~25x lower op count and ~25 sequential steps win.
+# On CPU (XLA looped limb path) the sort-based Pippenger's ~25x lower op
+# count wins below this size; on TPU the fused GLV ladder is one device
+# dispatch and wins at every size (the Pippenger path's eager digit
+# extraction alone costs ~100 dispatches — fatal at protocol sizes).
 LADDER_THRESHOLD = 2048
 
 
@@ -245,10 +271,25 @@ def msm(
         # host double-and-add: ~1.5 * 255 point ops per element
         with timed("msm.host", items=n, point_ops=383 * n):
             return msm_host(list(bases), list(scalars))
+    from curdleproofs_tpu.ops import pallas_g1
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+    if method == "auto":
+        use_ladder = pallas_g1.enabled() or len(bases) > LADDER_THRESHOLD
+        method = "ladder" if use_ladder else "pippenger"
+    if method == "ladder" and pallas_g1.enabled():
+        # pad on HOST to a multiple of the kernel tile so the whole protocol
+        # hits a handful of compiled shapes, then one device dispatch; the
+        # scalar limb array stays host-side for the GLV split
+        n = len(bases)
+        m = -(-max(n, 128) // 128) * 128
+        bp = list(bases) + [G1.identity()] * (m - n)
+        sp = [s.v for s in scalars] + [0] * (m - n)
+        pts = og.pack_points(bp)
+        scs_np = np.asarray(ints_to_limbs(sp, 16), dtype=np.uint32)
+        return msm_ladder(pts, scs_np)
     pts = og.pack_points(list(bases))
     scs = og.pack_scalars(list(scalars))
-    if method == "auto":
-        method = "ladder" if len(bases) > LADDER_THRESHOLD else "pippenger"
     if method == "ladder":
         pts, scs = _pad_pow2_inputs(pts, scs)
         return msm_ladder(pts, scs)

@@ -90,11 +90,12 @@ def _unflatten(arrs, shape, n):
 
 
 def _const_spec():
-    """Constant limb vectors ride along as a (24, 2) kernel input — col 0 the
-    Fq modulus, col 1 Montgomery one (Pallas forbids captured const arrays)."""
+    """Constant limb vectors ride along as a (24, 3) kernel input — col 0 the
+    Fq modulus, col 1 Montgomery one, col 2 the GLV endomorphism beta in
+    Montgomery form (Pallas forbids captured const arrays)."""
     if _VMEM is None:
-        return pl.BlockSpec((24, 2), lambda i: (0, 0))
-    return pl.BlockSpec((24, 2), lambda i: (0, 0), memory_space=_VMEM)
+        return pl.BlockSpec((24, 3), lambda i: (0, 0))
+    return pl.BlockSpec((24, 3), lambda i: (0, 0), memory_space=_VMEM)
 
 
 def _row_spec(blk):
@@ -106,9 +107,17 @@ def _row_spec(blk):
 
 import numpy as np
 
-_CONSTS_NP = np.stack([FQ_SPEC.mod_limbs, FQ_SPEC.one_mont], axis=1).astype(
-    np.uint32
-)
+from curdleproofs_tpu.ops.glv import BETA as _GLV_BETA
+
+
+def _beta_mont_limbs() -> np.ndarray:
+    v = _GLV_BETA * FQ_SPEC.r_mod % FQ_SPEC.modulus
+    return np.array([(v >> (16 * i)) & 0xFFFF for i in range(24)], dtype=np.uint32)
+
+
+_CONSTS_NP = np.stack(
+    [FQ_SPEC.mod_limbs, FQ_SPEC.one_mont, _beta_mont_limbs()], axis=1
+).astype(np.uint32)
 
 
 def _consts_arr():
@@ -323,6 +332,164 @@ def _build_ladder_w3_kernel(blk: int):
         )(_consts_arr(), *t_flats, sc)
 
     return call
+
+
+@functools.lru_cache(maxsize=None)
+def _build_glv_ladder_kernel(blk: int):
+    """GLV/Straus dual-table fused ladder: k*P = k1*P + k2*phi(P) with
+    |k1| < 2^129 signed, 0 <= k2 <= lambda (ops.glv), phi(X,Y,Z) = (beta*X,Y,Z).
+
+    43 iterations of 3 doublings + two conditional table adds; both odd-
+    multiple tables live in VMEM, table 1 built in-kernel (3 dbl + 3 madd),
+    table 2 derived by the endomorphism (7 field muls). ~2250 Montgomery
+    muls/lane vs ~3100 for the single-table 255-bit ladder.
+
+    The table adds use doubling-free Jacobian addition. Soundness: acc's
+    value in the GLV lattice is a + b*lambda with |a| <= 1.51*lambda + 7 and
+    0 <= b <= lambda at every step; a collision acc == d*(+-P) or acc ==
+    d*lambda*P requires a lattice vector (a', c) with a' + c*lambda = 0 mod
+    r = lambda^2+lambda+1 in those ranges with c == 0 mod 8 (first add) or
+    c in [-7, lambda] (second add) — enumeration of the short vectors
+    ((lambda,-1), (1,lambda+1), (lambda+1,lambda), ...) shows none fits
+    (lambda is odd, r - c*lambda > 2*lambda for c < lambda, and the c=1
+    family needs a = -lambda which the clamped-positive k1 invariant of
+    ops.glv.decompose excludes). Cancellation/infinity stay handled."""
+    from jax import lax as jlax
+
+    from curdleproofs_tpu.ops import g1 as og
+
+    def kernel(const_ref, px, py, pinf, negr, s1r, s2r, ox, oy, oz):
+        with ma.force_unroll(), ma.const_override(
+            fq_mod=const_ref[:, 0], fq_one_mont=const_ref[:, 1]
+        ):
+            beta = const_ref[:, 2].reshape(24, 1)
+            inf = pinf[:][0] != 0
+            neg = negr[:][0] != 0
+            pxv, pyv = px[:], py[:]
+            py1 = ma.select(neg, ma.neg(FQ_SPEC, pyv), pyv)
+            base1 = og.APoints(pxv, py1, inf)
+
+            t1 = og.lift(base1)
+            t2 = og._jdbl_formulas(t1)
+            t3 = og._jmadd_formulas(t2, base1, handle_doubling=False)
+            t4 = og._jdbl_formulas(t2)
+            t5 = og._jmadd_formulas(t4, base1, handle_doubling=False)
+            t6 = og._jdbl_formulas(t3)
+            t7 = og._jmadd_formulas(t6, base1, handle_doubling=False)
+            T1 = [t1, t2, t3, t4, t5, t6, t7]
+            # phi is a homomorphism, so T2[k] = k*phi(P) = phi(k*P) =
+            # (beta*X, Y, Z) of the table-1 entry — except table 1 carries
+            # sign(k1) while k2 is always non-negative, so negate y back on
+            # the lanes where table 1 was negated: phi(k*(-P)) = -k*phi(P).
+            def endo(t):
+                yy = ma.select(neg, ma.neg(FQ_SPEC, t.y), t.y)
+                return og.JPoints(ma.mont_mul(FQ_SPEC, t.x, beta), yy, t.z)
+
+            T2 = [endo(t) for t in T1]
+
+            s1 = s1r[:]
+            s2 = s2r[:]
+            zero = jnp.zeros_like(pxv)
+            acc0 = (zero, zero, zero)
+
+            def digit(s, bitpos):
+                li = bitpos // 16
+                off = (bitpos % 16).astype(jnp.uint32)
+                lo = jnp.zeros_like(s[0])
+                hi = jnp.zeros_like(s[0])
+                for idx in range(9):
+                    lo = jnp.where(li == idx, s[idx], lo)
+                    hi = jnp.where(li + 1 == idx, s[idx], hi)
+                combined = lo | (hi << jnp.uint32(16))
+                return (combined >> off) & jnp.uint32(7)
+
+            def tsel(T, d):
+                tx, ty, tz = T[0].x, T[0].y, T[0].z
+                for k in range(2, 8):
+                    sel = d == k
+                    tx = jnp.where(sel, T[k - 1].x, tx)
+                    ty = jnp.where(sel, T[k - 1].y, ty)
+                    tz = jnp.where(sel, T[k - 1].z, tz)
+                return og.JPoints(tx, ty, tz)
+
+            def body(i, acc3):
+                acc = og.JPoints(*acc3)
+                acc = og._jdbl_formulas(acc)
+                acc = og._jdbl_formulas(acc)
+                acc = og._jdbl_formulas(acc)
+                bitpos = 126 - 3 * i
+                d1 = digit(s1, bitpos)
+                d2 = digit(s2, bitpos)
+                c1p = og._jadd_formulas(acc, tsel(T1, d1), handle_doubling=False)
+                acc = og.jselect(d1 == 0, acc, c1p)
+                c2p = og._jadd_formulas(acc, tsel(T2, d2), handle_doubling=False)
+                acc = og.jselect(d2 == 0, acc, c2p)
+                return (acc.x, acc.y, acc.z)
+
+            x, y, z = jlax.fori_loop(0, 43, body, acc0)
+        ox[:] = x
+        oy[:] = y
+        oz[:] = z
+
+    def rows_spec(r):
+        if _VMEM is None:
+            return pl.BlockSpec((r, blk), lambda i: (0, i))
+        return pl.BlockSpec((r, blk), lambda i: (0, i), memory_space=_VMEM)
+
+    def call(px, py, pinf_row, neg_row, s1, s2):
+        m = px.shape[-1]
+        grid = (m // blk,)
+        out_shape = [jax.ShapeDtypeStruct((24, m), jnp.uint32)] * 3
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                _const_spec(),
+                _spec(blk),
+                _spec(blk),
+                _row_spec(blk),
+                _row_spec(blk),
+                rows_spec(9),
+                rows_spec(9),
+            ],
+            out_specs=[_spec(blk)] * 3,
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(_consts_arr(), px, py, pinf_row, neg_row, s1, s2)
+
+    return call
+
+
+def _pick_blk_glv(n: int) -> int:
+    """The dual tables (14 Jacobian points) push the GLV kernel's VMEM
+    working set to ~10 MB at 256 lanes; 512 lanes OOMs the 16 MB budget."""
+    return 256 if n >= 2048 else 128
+
+
+def scalar_mul_glv(points, s1, neg1, s2):
+    """Fused per-lane k_i * P_i via the GLV dual-table ladder.
+
+    points: (24, *B) affine; s1, s2: (9, *B) u32 limb arrays of |k1|, k2;
+    neg1: (*B,) bool/u32 sign of k1 (from ops.glv.decompose)."""
+    from curdleproofs_tpu.ops.g1 import JPoints
+
+    blk = _pick_blk_glv(_total_lanes(points.x))
+    flats, shape, n = _flatten([points.x, points.y], blk)
+    m = flats[0].shape[-1]
+
+    def pad_rows(a, rows, fill=0):
+        f = jnp.asarray(a).reshape(rows, -1).astype(jnp.uint32)
+        if f.shape[-1] != m:
+            f = jnp.pad(f, ((0, 0), (0, m - f.shape[-1])), constant_values=fill)
+        return f
+
+    inf_flat = pad_rows(points.inf.astype(jnp.uint32), 1, fill=1)
+    neg_flat = pad_rows(neg1.astype(jnp.uint32), 1)
+    s1f = pad_rows(s1, 9)
+    s2f = pad_rows(s2, 9)
+    outs = _build_glv_ladder_kernel(blk)(flats[0], flats[1], inf_flat, neg_flat, s1f, s2f)
+    x, y, z = _unflatten(outs, shape, n)
+    return JPoints(x, y, z)
 
 
 def scalar_mul(points, scalars):
