@@ -1,0 +1,170 @@
+"""One-hot MXU gather: permutation gathers at matmul speed.
+
+XLA's native lane gather (`take_along_axis`) on TPU lowers to a serial
+per-element loop — catastrophically slow for the Pippenger MSM's
+sort-into-bucket-order step (ROADMAP: ~1.1 s/MSM at n=2^16, ~200x the add
+work). TPUs *do* have one unit that moves data at speed as a side effect of
+arithmetic: the MXU. A gather by indices is a matmul against a one-hot
+selection matrix:
+
+    out[r, j] = sum_i  table[r, i] * [i == idx[j]]
+
+This kernel streams the table through VMEM in (BN)-column tiles, builds the
+one-hot tile ON THE FLY from an iota/compare (it never touches HBM), splits
+the u32 payload into four exact bf16 byte planes, and accumulates the
+(4R, BM) f32 partials in a VMEM scratch across the contraction grid axis.
+Every term of the dot product is either 0 or an integer < 256, and exactly
+one term per output element is nonzero, so bf16xbf16->f32 MXU arithmetic is
+EXACT — this is a bit-exact gather, not an approximation.
+
+Cost for (R rows, n table cols, m gathered cols): R*4*n*m bf16 MACs.
+At the MSM's operating point (R=49, n=m=65536 per window) that is ~4 ms of
+MXU time per window vs ~50+ ms for the XLA gather.
+
+Used by ops.msm for the host-sorted Pippenger path (gathering point records
+into digit-sorted order, and bucket-boundary prefix extraction).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # TPU memory spaces; absent on pure-CPU installs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _vspec(shape, index_map):
+    if _VMEM is None:
+        return pl.BlockSpec(shape, index_map)
+    return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _build(R: int, W: int, N: int, M: int, BN: int, BM: int):
+    """pallas_call for batched one-hot gather.
+
+    table (R, W, N) u32, idx (W, M) int32 -> out (R, W, M) u32.
+    Grid (W, M/BM, N/BN), contraction axis minor so the f32 accumulator
+    scratch persists across it.
+    """
+    K = N // BN
+
+    def kernel(tab_ref, idx_ref, out_ref, acc_ref):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        t = tab_ref[...].reshape(R, BN)
+        planes = [
+            (t & jnp.uint32(0xFF)),
+            ((t >> jnp.uint32(8)) & jnp.uint32(0xFF)),
+            ((t >> jnp.uint32(16)) & jnp.uint32(0xFF)),
+            ((t >> jnp.uint32(24)) & jnp.uint32(0xFF)),
+        ]
+        a = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)  # (4R, BN)
+        cols = lax.broadcasted_iota(jnp.int32, (BN, BM), 0) + k * BN
+        idx = idx_ref[...].reshape(1, BM)
+        oh = (cols == idx).astype(jnp.bfloat16)  # (BN, BM)
+        acc_ref[...] += jnp.dot(a, oh, preferred_element_type=jnp.float32)
+
+        @pl.when(k == K - 1)
+        def _finish():
+            p = acc_ref[...].astype(jnp.uint32).reshape(4, R, BM)
+            out_ref[...] = (
+                p[0] | (p[1] << jnp.uint32(8)) | (p[2] << jnp.uint32(16))
+                | (p[3] << jnp.uint32(24))
+            ).reshape(R, 1, BM)
+
+    grid = (W, M // BM, K)
+    scratch = (
+        [pltpu.VMEM((4 * R, BM), jnp.float32)]
+        if pltpu is not None
+        else [pl.BlockSpec(memory_space=None)]  # pragma: no cover
+    )
+    if pltpu is None:  # interpreter path: plain scratch shape
+        scratch = [jax.ShapeDtypeStruct((4 * R, BM), jnp.float32)]
+
+    def call(table, idx):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                _vspec((R, 1, BN), lambda w, j, k: (0, w, k)),
+                _vspec((1, BM), lambda w, j, k: (w, j)),
+            ],
+            out_specs=_vspec((R, 1, BM), lambda w, j, k: (0, w, j)),
+            out_shape=jax.ShapeDtypeStruct((R, W, M), jnp.uint32),
+            scratch_shapes=(
+                [pltpu.VMEM((4 * R, BM), jnp.float32)] if pltpu is not None else []
+            ),
+            interpret=_interpret(),
+        )(table, idx)
+
+    return call
+
+
+def _pick_blocks(N: int, M: int):
+    BN = 512 if N % 512 == 0 else _largest_div(N, 512)
+    BM = 256 if M % 256 == 0 else _largest_div(M, 256)
+    return BN, BM
+
+
+def _largest_div(n: int, cap: int) -> int:
+    b = 1
+    while b * 2 <= cap and n % (b * 2) == 0:
+        b *= 2
+    return b
+
+
+def gather_u32(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched exact u32 gather along the last axis via one-hot MXU matmuls.
+
+    table: (R, W, N) uint32; idx: (W, M) int32 with values in [0, N) (or any
+    out-of-range value to gather 0). Returns (R, W, M) uint32:
+    out[r, w, j] = table[r, w, idx[w, j]].
+    """
+    R, W, N = table.shape
+    W2, M = idx.shape
+    assert W2 == W
+    BN, BM = _pick_blocks(N, M)
+    Mp = -(-M // BM) * BM
+    if Mp != M:
+        idx = jnp.pad(idx, ((0, 0), (0, Mp - M)), constant_values=-1)
+    out = _build(R, W, N, Mp, BN, BM)(table, idx.astype(jnp.int32))
+    return out[:, :, :M]
+
+
+def gather_u32_shared(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather with one shared table: table (R, N), idx (W, M) -> (R, W, M).
+
+    Flattens the W windows into the M axis of a single unbatched kernel call
+    (the table is identical for every window, so this keeps the one-hot
+    contraction at N x (W*M) instead of re-streaming per window)."""
+    R, N = table.shape
+    W, M = idx.shape
+    flat = gather_u32(table[:, None, :], idx.reshape(1, W * M))
+    return flat.reshape(R, W, M)
+
+
+def gather_u32_xla(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Reference XLA implementation (take_along_axis) for tests/fallback."""
+    R, W, N = table.shape
+    safe = jnp.clip(idx, 0, N - 1)
+    hit = (idx >= 0) & (idx < N)
+    g = jnp.take_along_axis(table, safe[None, :, :], axis=-1)
+    return jnp.where(hit[None, :, :], g, jnp.zeros_like(g))

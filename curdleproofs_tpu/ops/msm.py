@@ -184,6 +184,156 @@ def _msm_pippenger_impl(
     return _combine_windows_host(total_host, bsums_host[:W], c, W)
 
 
+# ---------------------------------------------------------------------------
+# Host-sorted Pippenger: the production large-n path on TPU.
+#
+# The sort-based device Pippenger above is exact but bottlenecked by XLA's
+# argsort/take_along_axis lowering on TPU (serial lane gathers; ~200x the add
+# work at n=2^16 — ROADMAP item 1). This variant splits the work by what each
+# processor is good at:
+#   * HOST (numpy): digit extraction, per-window argsort (radix on uint16),
+#     bucket-boundary searchsorted — O(W*n) integer work, milliseconds.
+#   * DEVICE: the actual group arithmetic — gathering point records into
+#     digit-sorted order with the one-hot MXU matmul kernel (ops.gather),
+#     the 2n-add prefix scan per window (fused Pallas adds), boundary prefix
+#     extraction (same MXU gather), and the bucket-sum reduction.
+# Executed group work: W*(2n + B) adds vs the fused ladder's ~228n — ~5x
+# fewer at c=12/n=2^16 — with every add still running in the fused kernels.
+# ---------------------------------------------------------------------------
+
+
+def host_digits(scalars: np.ndarray, c: int) -> np.ndarray:
+    """numpy twin of extract_digits: (16, n) limbs -> (W, n) uint16 digits."""
+    if not 1 <= c <= 16:
+        raise ValueError("window size must be in [1, 16]")
+    W = -(-FR_BITS // c)
+    s = np.concatenate(
+        [scalars.astype(np.uint32), np.zeros((2,) + scalars.shape[1:], np.uint32)]
+    )
+    mask = np.uint32((1 << c) - 1)
+    rows = []
+    for w in range(W):
+        i0, off = divmod(w * c, 16)
+        v = s[i0] >> np.uint32(off)
+        if off + c > 16:
+            v = v | (s[i0 + 1] << np.uint32(16 - off))
+        rows.append(v & mask)
+    return np.stack(rows).astype(np.uint16)
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _hostsort_window_partials(packed, order, e, mask, c: int):
+    """Device pipeline for one window chunk, all inside a single dispatch.
+
+    packed (49, n) u32 point records (x limbs 0-23, y limbs 24-47, inf 48);
+    order (wb, n) i32 digit-sort permutations; e (wb, B-1) i32 bucket
+    boundary indices into the sorted order; mask (wb, B-1) boundary-valid.
+    Returns (total JPoints (24,), bucket-weighted boundary sums (24, wb)).
+    """
+    from curdleproofs_tpu.ops import gather as ogather
+
+    g = ogather.gather_u32_shared(packed, order)  # (49, wb, n)
+    pts = APoints(g[:24], g[24:48], g[48] != 0)
+    P = oscan.inclusive_scan(og.lift(pts))  # (24, wb, n) prefix sums
+    btab = jnp.concatenate([P.x, P.y, P.z], axis=0)  # (72, wb, n)
+    bg = ogather.gather_u32(btab, e)  # (72, wb, B-1)
+    boundary = og.jselect(
+        mask, JPoints(bg[:24], bg[24:48], bg[48:]), oscan.jinf(e.shape)
+    )
+    bsums = oscan.tree_reduce_hybrid(boundary)  # (24, wb)
+    total = JPoints(P.x[:, 0, -1], P.y[:, 0, -1], P.z[:, 0, -1])
+    return total, bsums
+
+
+def hostsort_point_ops(n: int, c: int) -> int:
+    """Group adds executed per MSM by the host-sorted Pippenger."""
+    W = -(-FR_BITS // c)
+    return W * (2 * n + (1 << c)) + 255
+
+
+def msm_pippenger_hostsort(
+    points: APoints,
+    scalars: np.ndarray,
+    c: Optional[int] = None,
+    window_batch: Optional[int] = None,
+) -> G1:
+    """Full MSM: points (24, n) affine (device or host), scalars (16, n)
+    canonical limbs as HOST numpy (the sort runs on host) -> host G1."""
+    from curdleproofs_tpu.utils.profiling import timed
+
+    scalars_np = np.asarray(scalars).astype(np.uint32)
+    n_in = points.x.shape[-1]
+    c = c or pick_window(max(n_in, 32))
+    with timed(
+        "msm.hostsort", items=n_in, point_ops=hostsort_point_ops(n_in, c)
+    ):
+        return _msm_hostsort_impl(points, scalars_np, c, window_batch)
+
+
+def _msm_hostsort_impl(
+    points: APoints,
+    scalars_np: np.ndarray,
+    c: int,
+    window_batch: Optional[int] = None,
+) -> G1:
+    n_in = points.x.shape[-1]
+    m = 512
+    while m < n_in:
+        m *= 2
+    if m != n_in:  # pad with identity/zero lanes to a power of two >= 512
+        zc = jnp.zeros((24, m - n_in), dtype=jnp.uint32)
+        points = APoints(
+            jnp.concatenate([points.x, zc], axis=-1),
+            jnp.concatenate([points.y, zc], axis=-1),
+            jnp.concatenate(
+                [points.inf, jnp.ones(m - n_in, dtype=bool)], axis=-1
+            ),
+        )
+        scalars_np = np.concatenate(
+            [scalars_np, np.zeros((16, m - n_in), np.uint32)], axis=-1
+        )
+    n = m
+    W = -(-FR_BITS // c)
+    B = 1 << c
+    if window_batch is None:
+        # bound the scan working set (~600 u32 rows per lane live) to ~1.5 GB
+        window_batch = max(1, min(W, (1 << 22) // max(n, 1)))
+
+    # --- host: digits, per-window radix argsort, bucket boundaries ---------
+    digits = host_digits(scalars_np, c)  # (W, n) uint16
+    order = np.argsort(digits, axis=-1, kind="stable").astype(np.int32)
+    sd = np.take_along_axis(digits, order.astype(np.intp), axis=-1)
+    ts = np.arange(B - 1, dtype=np.uint16)
+    e = np.empty((W, B - 1), np.int32)
+    for w in range(W):
+        e[w] = np.searchsorted(sd[w], ts, side="right").astype(np.int32) - 1
+    mask = e >= 0
+
+    packed = jnp.concatenate(
+        [points.x, points.y, points.inf[None].astype(jnp.uint32)], axis=0
+    )
+
+    total_host: Optional[G1] = None
+    bsums_host: List[G1] = []
+    for w0 in range(0, W, window_batch):
+        ordc = order[w0 : w0 + window_batch]
+        ec = e[w0 : w0 + window_batch]
+        mc = mask[w0 : w0 + window_batch]
+        wb = ordc.shape[0]
+        if wb != window_batch:  # keep a single compiled shape per (n, c)
+            pad = window_batch - wb
+            ordc = np.concatenate([ordc, np.zeros((pad, n), np.int32)])
+            ec = np.concatenate([ec, np.zeros((pad, B - 1), np.int32)])
+            mc = np.concatenate([mc, np.zeros((pad, B - 1), bool)])
+        total, bsums = _hostsort_window_partials(
+            packed, jnp.asarray(ordc), jnp.asarray(ec), jnp.asarray(mc), c
+        )
+        if total_host is None:
+            total_host = og.jpoints_to_host(total)[0]
+        bsums_host.extend(og.jpoints_to_host(bsums))
+    return _combine_windows_host(total_host, bsums_host[:W], c, W)
+
+
 def ladder_point_ops(n: int) -> int:
     """Group operations executed per lane by the GLV dual-table (w=3) ladder
     MSM: 129 doublings + 86 window adds + 6 table builds + 7 endomorphism
