@@ -1,0 +1,721 @@
+/* Native host-side BLS12-381 G1 backend.
+ *
+ * Role in the framework: the host "L0" curve backend — the TPU-native
+ * analog of the reference's py_arkworks_bls12381 Rust/PyO3 wheel
+ * (reference curdleproofs/py_arkworks_bls12381-stubs/__init__.pyi:5-54).
+ * The TPU Pallas kernels (curdleproofs_tpu/ops/*) own throughput-critical
+ * large MSMs; this module owns latency-critical small batches (protocol
+ * glue at ell=124 scale, window combines, serde, test oracles) where a
+ * device dispatch round-trip costs more than the whole computation.
+ *
+ * Arithmetic: 6x64-bit-limb Montgomery representation for Fq (CIOS
+ * multiplication with unsigned __int128 accumulators), Jacobian
+ * coordinates for G1, 4-bit-window scalar multiplication, Pippenger MSM
+ * with per-size window choice, batched point compression/decompression
+ * (sqrt via a^((p+1)/4), p = 3 mod 4).
+ *
+ * External byte formats match curdleproofs_tpu.curve: affine points are
+ * 96 bytes (x || y, each 48-byte big-endian canonical) plus a 1-byte
+ * infinity flag; scalars are 32-byte little-endian canonical integers
+ * (< r); compressed points are the 48-byte ZCash encoding.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <stdint.h>
+#include <string.h>
+#include <stdlib.h>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+/* ------------------------------------------------------------------ Fq */
+
+typedef struct { u64 l[6]; } fp;
+
+static const fp FP_P = {{0xb9feffffffffaaabULL, 0x1eabfffeb153ffffULL,
+                         0x6730d2a0f6b0f624ULL, 0x64774b84f38512bfULL,
+                         0x4b1ba7b6434bacd7ULL, 0x1a0111ea397fe69aULL}};
+static const u64 FP_N0 = 0x89f3fffcfffcfffdULL; /* -p^-1 mod 2^64 */
+static const fp FP_R2 = {{0xf4df1f341c341746ULL, 0x0a76e6a609d104f1ULL,
+                          0x8de5476c4c95b6d5ULL, 0x67eb88a9939d83c0ULL,
+                          0x9a793e85b519952dULL, 0x11988fe592cae3aaULL}};
+static const fp FP_ONE = {{0x760900000002fffdULL, 0xebf4000bc40c0002ULL,
+                           0x5f48985753c758baULL, 0x77ce585370525745ULL,
+                           0x5c071a97a256ec6dULL, 0x15f65ec3fa80e493ULL}};
+/* exponent chains (canonical integers, little-endian limbs) */
+static const u64 FP_SQRT_EXP[6] = {0xee7fbfffffffeaabULL, 0x07aaffffac54ffffULL,
+                                   0xd9cc34a83dac3d89ULL, 0xd91dd2e13ce144afULL,
+                                   0x92c6e9ed90d2eb35ULL, 0x0680447a8e5ff9a6ULL};
+static const u64 FP_PM2[6] = {0xb9feffffffffaaa9ULL, 0x1eabfffeb153ffffULL,
+                              0x6730d2a0f6b0f624ULL, 0x64774b84f38512bfULL,
+                              0x4b1ba7b6434bacd7ULL, 0x1a0111ea397fe69aULL};
+static const u64 FP_PM1H[6] = {0xdcff7fffffffd555ULL, 0x0f55ffff58a9ffffULL,
+                               0xb39869507b587b12ULL, 0xb23ba5c279c2895fULL,
+                               0x258dd3db21a5d66bULL, 0x0d0088f51cbff34dULL};
+/* group order r as a scalar (for subgroup checks) */
+static const u64 FR_ORDER[4] = {0xffffffff00000001ULL, 0x53bda402fffe5bfeULL,
+                                0x3339d80809a1d805ULL, 0x73eda753299d7d48ULL};
+
+static int fp_is_zero(const fp *a) {
+    u64 acc = 0;
+    for (int i = 0; i < 6; i++) acc |= a->l[i];
+    return acc == 0;
+}
+
+static int fp_eq(const fp *a, const fp *b) {
+    u64 acc = 0;
+    for (int i = 0; i < 6; i++) acc |= a->l[i] ^ b->l[i];
+    return acc == 0;
+}
+
+/* returns 1 if a >= b (canonical limb compare) */
+static int fp_geq(const u64 *a, const u64 *b) {
+    for (int i = 5; i >= 0; i--) {
+        if (a[i] > b[i]) return 1;
+        if (a[i] < b[i]) return 0;
+    }
+    return 1;
+}
+
+static void fp_sub_raw(u64 *r, const u64 *a, const u64 *b) {
+    u64 borrow = 0;
+    for (int i = 0; i < 6; i++) {
+        u128 d = (u128)a[i] - b[i] - borrow;
+        r[i] = (u64)d;
+        borrow = (u64)(d >> 64) & 1;
+    }
+}
+
+static void fp_add(fp *r, const fp *a, const fp *b) {
+    u64 carry = 0;
+    for (int i = 0; i < 6; i++) {
+        u128 s = (u128)a->l[i] + b->l[i] + carry;
+        r->l[i] = (u64)s;
+        carry = (u64)(s >> 64);
+    }
+    if (carry || fp_geq(r->l, FP_P.l)) fp_sub_raw(r->l, r->l, FP_P.l);
+}
+
+static void fp_sub(fp *r, const fp *a, const fp *b) {
+    u64 borrow = 0;
+    for (int i = 0; i < 6; i++) {
+        u128 d = (u128)a->l[i] - b->l[i] - borrow;
+        r->l[i] = (u64)d;
+        borrow = (u64)(d >> 64) & 1;
+    }
+    if (borrow) {
+        u64 carry = 0;
+        for (int i = 0; i < 6; i++) {
+            u128 s = (u128)r->l[i] + FP_P.l[i] + carry;
+            r->l[i] = (u64)s;
+            carry = (u64)(s >> 64);
+        }
+    }
+}
+
+static void fp_neg(fp *r, const fp *a) {
+    if (fp_is_zero(a)) { *r = *a; return; }
+    fp_sub_raw(r->l, FP_P.l, a->l);
+}
+
+static void fp_dbl(fp *r, const fp *a) { fp_add(r, a, a); }
+
+/* CIOS Montgomery multiplication */
+static void fp_mul(fp *r, const fp *a, const fp *b) {
+    u64 t[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 6; i++) {
+        u64 c = 0;
+        u64 ai = a->l[i];
+        for (int j = 0; j < 6; j++) {
+            u128 s = (u128)ai * b->l[j] + t[j] + c;
+            t[j] = (u64)s;
+            c = (u64)(s >> 64);
+        }
+        u128 s = (u128)t[6] + c;
+        t[6] = (u64)s;
+        t[7] = (u64)(s >> 64);
+        u64 m = t[0] * FP_N0;
+        u128 s2 = (u128)m * FP_P.l[0] + t[0];
+        c = (u64)(s2 >> 64);
+        for (int j = 1; j < 6; j++) {
+            s2 = (u128)m * FP_P.l[j] + t[j] + c;
+            t[j - 1] = (u64)s2;
+            c = (u64)(s2 >> 64);
+        }
+        s2 = (u128)t[6] + c;
+        t[5] = (u64)s2;
+        t[6] = t[7] + (u64)(s2 >> 64);
+        t[7] = 0;
+    }
+    if (t[6] || fp_geq(t, FP_P.l)) fp_sub_raw(t, t, FP_P.l);
+    memcpy(r->l, t, 48);
+}
+
+static void fp_sqr(fp *r, const fp *a) { fp_mul(r, a, a); }
+
+/* MSB-first square-and-multiply; exp = canonical little-endian limbs */
+static void fp_pow(fp *r, const fp *base, const u64 *exp, int nlimbs) {
+    fp acc = FP_ONE;
+    int started = 0;
+    for (int i = nlimbs - 1; i >= 0; i--) {
+        for (int b = 63; b >= 0; b--) {
+            if (started) fp_sqr(&acc, &acc);
+            if ((exp[i] >> b) & 1) {
+                fp_mul(&acc, &acc, base);
+                started = 1;
+            }
+        }
+    }
+    *r = acc;
+}
+
+static void fp_inv(fp *r, const fp *a) { fp_pow(r, a, FP_PM2, 6); }
+
+/* sqrt in Montgomery domain; returns 0 if non-residue */
+static int fp_sqrt(fp *r, const fp *a) {
+    fp s, chk;
+    fp_pow(&s, a, FP_SQRT_EXP, 6);
+    fp_sqr(&chk, &s);
+    if (!fp_eq(&chk, a)) return 0;
+    *r = s;
+    return 1;
+}
+
+/* canonical 48-byte big-endian <-> Montgomery */
+static void fp_from_be(fp *r, const uint8_t *be) {
+    fp c;
+    for (int i = 0; i < 6; i++) {
+        u64 v = 0;
+        const uint8_t *p = be + 48 - 8 * (i + 1);
+        for (int k = 0; k < 8; k++) v = (v << 8) | p[k];
+        c.l[i] = v;
+    }
+    fp_mul(r, &c, &FP_R2);
+}
+
+static void fp_to_be(uint8_t *be, const fp *a) {
+    fp one = {{1, 0, 0, 0, 0, 0}}, c;
+    fp_mul(&c, a, &one); /* Montgomery reduce to canonical */
+    for (int i = 0; i < 6; i++) {
+        u64 v = c.l[i];
+        uint8_t *p = be + 48 - 8 * (i + 1);
+        for (int k = 7; k >= 0; k--) { p[k] = (uint8_t)v; v >>= 8; }
+    }
+}
+
+/* canonical compare against (p-1)/2 for the compression sign bit:
+ * returns 1 if canonical(a) > (p-1)/2 */
+static int fp_is_lex_largest(const fp *a) {
+    fp one = {{1, 0, 0, 0, 0, 0}}, c;
+    fp_mul(&c, a, &one);
+    for (int i = 5; i >= 0; i--) {
+        if (c.l[i] > FP_PM1H[i]) return 1;
+        if (c.l[i] < FP_PM1H[i]) return 0;
+    }
+    return 0; /* equal -> not larger */
+}
+
+/* ------------------------------------------------------------------ G1 */
+
+typedef struct { fp x, y, z; } jpt; /* Jacobian; z == 0 => infinity */
+
+static const jpt JINF = {{{0}}, {{0}}, {{0}}};
+
+static int j_is_inf(const jpt *p) { return fp_is_zero(&p->z); }
+
+/* dbl-2009-l style doubling for a = 0 (2M + 5S) — same formula as the
+ * Python oracle in curdleproofs_tpu/curve.py:_jdbl */
+static void j_dbl(jpt *r, const jpt *p) {
+    if (j_is_inf(p)) { *r = JINF; return; }
+    fp a, b, c, t, d, e, f, x3, y3, z3, tmp;
+    fp_sqr(&a, &p->x);
+    fp_sqr(&b, &p->y);
+    fp_sqr(&c, &b);
+    fp_add(&t, &p->x, &b);
+    fp_sqr(&t, &t);
+    fp_sub(&t, &t, &a);
+    fp_sub(&t, &t, &c);
+    fp_dbl(&d, &t);
+    fp_dbl(&e, &a);
+    fp_add(&e, &e, &a);
+    fp_sqr(&f, &e);
+    fp_dbl(&tmp, &d);
+    fp_sub(&x3, &f, &tmp);
+    fp_sub(&tmp, &d, &x3);
+    fp_mul(&y3, &e, &tmp);
+    fp_dbl(&tmp, &c);
+    fp_dbl(&tmp, &tmp);
+    fp_dbl(&tmp, &tmp);
+    fp_sub(&y3, &y3, &tmp);
+    fp_mul(&z3, &p->y, &p->z);
+    fp_dbl(&z3, &z3);
+    r->x = x3; r->y = y3; r->z = z3;
+}
+
+/* complete Jacobian addition (handles inf / equal / negated) —
+ * add-2007-bl, mirrors curdleproofs_tpu/curve.py:_jadd */
+static void j_add(jpt *r, const jpt *p1, const jpt *p2) {
+    if (j_is_inf(p1)) { *r = *p2; return; }
+    if (j_is_inf(p2)) { *r = *p1; return; }
+    fp z1z1, z2z2, u1, u2, s1, s2, h, i, j, rr, v, x3, y3, z3, tmp;
+    fp_sqr(&z1z1, &p1->z);
+    fp_sqr(&z2z2, &p2->z);
+    fp_mul(&u1, &p1->x, &z2z2);
+    fp_mul(&u2, &p2->x, &z1z1);
+    fp_mul(&s1, &p1->y, &p2->z);
+    fp_mul(&s1, &s1, &z2z2);
+    fp_mul(&s2, &p2->y, &p1->z);
+    fp_mul(&s2, &s2, &z1z1);
+    if (fp_eq(&u1, &u2)) {
+        if (fp_eq(&s1, &s2)) { j_dbl(r, p1); return; }
+        *r = JINF;
+        return;
+    }
+    fp_sub(&h, &u2, &u1);
+    fp_dbl(&i, &h);
+    fp_sqr(&i, &i);
+    fp_mul(&j, &h, &i);
+    fp_sub(&rr, &s2, &s1);
+    fp_dbl(&rr, &rr);
+    fp_mul(&v, &u1, &i);
+    fp_sqr(&x3, &rr);
+    fp_sub(&x3, &x3, &j);
+    fp_sub(&x3, &x3, &v);
+    fp_sub(&x3, &x3, &v);
+    fp_sub(&tmp, &v, &x3);
+    fp_mul(&y3, &rr, &tmp);
+    fp_mul(&tmp, &s1, &j);
+    fp_dbl(&tmp, &tmp);
+    fp_sub(&y3, &y3, &tmp);
+    fp_add(&z3, &p1->z, &p2->z);
+    fp_sqr(&z3, &z3);
+    fp_sub(&z3, &z3, &z1z1);
+    fp_sub(&z3, &z3, &z2z2);
+    fp_mul(&z3, &z3, &h);
+    r->x = x3; r->y = y3; r->z = z3;
+}
+
+static void j_neg(jpt *r, const jpt *p) {
+    r->x = p->x;
+    fp_neg(&r->y, &p->y);
+    r->z = p->z;
+}
+
+/* 4-bit-window scalar multiplication; scalar = 4 canonical LE limbs */
+static void j_mul(jpt *r, const jpt *p, const u64 *k) {
+    int bits = 0;
+    for (int i = 3; i >= 0; i--) {
+        if (k[i]) { bits = 64 * i + 64; while (!((k[i] >> (bits - 64 * i - 1)) & 1)) bits--; break; }
+    }
+    if (bits == 0 || j_is_inf(p)) { *r = JINF; return; }
+    jpt tbl[16];
+    tbl[0] = JINF;
+    tbl[1] = *p;
+    for (int i = 2; i < 16; i++) j_add(&tbl[i], &tbl[i - 1], p);
+    jpt acc = JINF;
+    int top = ((bits + 3) / 4) * 4 - 4;
+    int started = 0;
+    for (int shift = top; shift >= 0; shift -= 4) {
+        if (started) { j_dbl(&acc, &acc); j_dbl(&acc, &acc); j_dbl(&acc, &acc); j_dbl(&acc, &acc); }
+        int limb = shift / 64, off = shift % 64;
+        u64 w = (k[limb] >> off);
+        if (off > 60 && limb < 3) w |= k[limb + 1] << (64 - off);
+        w &= 0xF;
+        if (w) { j_add(&acc, &acc, &tbl[w]); started = 1; }
+    }
+    *r = acc;
+}
+
+static void j_to_affine(const jpt *p, fp *x, fp *y, int *inf) {
+    if (j_is_inf(p)) { *inf = 1; memset(x, 0, sizeof(fp)); memset(y, 0, sizeof(fp)); return; }
+    *inf = 0;
+    fp zi, zi2;
+    fp_inv(&zi, &p->z);
+    fp_sqr(&zi2, &zi);
+    fp_mul(x, &p->x, &zi2);
+    fp_mul(y, &p->y, &zi2);
+    fp_mul(y, y, &zi);
+}
+
+/* ------------------------------------------------- byte-level helpers */
+
+static void load_affine(jpt *p, const uint8_t *xy96, uint8_t inf) {
+    if (inf) { *p = JINF; return; }
+    fp_from_be(&p->x, xy96);
+    fp_from_be(&p->y, xy96 + 48);
+    p->z = FP_ONE;
+}
+
+static void store_affine(uint8_t *xy96, uint8_t *inf, const jpt *p) {
+    fp x, y;
+    int isinf;
+    j_to_affine(p, &x, &y, &isinf);
+    *inf = (uint8_t)isinf;
+    if (isinf) { memset(xy96, 0, 96); return; }
+    fp_to_be(xy96, &x);
+    fp_to_be(xy96 + 48, &y);
+}
+
+static void load_scalar(u64 *k, const uint8_t *le32) {
+    for (int i = 0; i < 4; i++) {
+        u64 v = 0;
+        for (int b = 7; b >= 0; b--) v = (v << 8) | le32[8 * i + b];
+        k[i] = v;
+    }
+}
+
+/* --------------------------------------------------------------- MSM */
+
+static int msm_window_bits(size_t n) {
+    if (n < 32) return 4;
+    if (n < 128) return 6;
+    if (n < 1024) return 8;
+    if (n < 8192) return 10;
+    if (n < 65536) return 12;
+    return 14;
+}
+
+/* Pippenger over preloaded Jacobian points and 4-limb scalars. */
+static void msm_jpts(jpt *out, const jpt *pts, const u64 *scalars, size_t n) {
+    if (n == 0) { *out = JINF; return; }
+    if (n == 1) { j_mul(out, &pts[0], scalars); return; }
+    int c = msm_window_bits(n);
+    int W = (255 + c - 1) / c;
+    size_t B = (size_t)1 << c;
+    jpt *buckets = (jpt *)malloc(B * sizeof(jpt));
+    jpt acc = JINF;
+    for (int w = W - 1; w >= 0; w--) {
+        if (!j_is_inf(&acc))
+            for (int b = 0; b < c; b++) j_dbl(&acc, &acc);
+        for (size_t t = 0; t < B; t++) buckets[t] = JINF;
+        int bit0 = w * c;
+        for (size_t i = 0; i < n; i++) {
+            int limb = bit0 / 64, off = bit0 % 64;
+            u64 d = scalars[4 * i + limb] >> off;
+            if (off + c > 64 && limb < 3) d |= scalars[4 * i + limb + 1] << (64 - off);
+            d &= (B - 1);
+            if (d) j_add(&buckets[d], &buckets[d], &pts[i]);
+        }
+        /* triangle sum: sum_t t * bucket_t */
+        jpt run = JINF, tot = JINF;
+        for (size_t t = B - 1; t >= 1; t--) {
+            j_add(&run, &run, &buckets[t]);
+            j_add(&tot, &tot, &run);
+        }
+        j_add(&acc, &acc, &tot);
+    }
+    free(buckets);
+    *out = acc;
+}
+
+/* ------------------------------------------------------ Python module */
+
+static PyObject *value_error(const char *msg) {
+    PyErr_SetString(PyExc_ValueError, msg);
+    return NULL;
+}
+
+/* msm(points96, inf_flags, scalars32_le) -> (out96, out_inf:int) */
+static PyObject *py_msm(PyObject *self, PyObject *args) {
+    Py_buffer bp, bi, bs;
+    if (!PyArg_ParseTuple(args, "y*y*y*", &bp, &bi, &bs)) return NULL;
+    size_t n = (size_t)bi.len;
+    if ((size_t)bp.len != 96 * n || (size_t)bs.len != 32 * n) {
+        PyBuffer_Release(&bp); PyBuffer_Release(&bi); PyBuffer_Release(&bs);
+        return value_error("msm: buffer length mismatch");
+    }
+    jpt *pts = (jpt *)malloc(n * sizeof(jpt) > 0 ? n * sizeof(jpt) : 1);
+    u64 *scs = (u64 *)malloc(n * 32 > 0 ? n * 32 : 1);
+    const uint8_t *pb = (const uint8_t *)bp.buf;
+    const uint8_t *ib = (const uint8_t *)bi.buf;
+    const uint8_t *sb = (const uint8_t *)bs.buf;
+    jpt out;
+    Py_BEGIN_ALLOW_THREADS
+    for (size_t i = 0; i < n; i++) {
+        load_affine(&pts[i], pb + 96 * i, ib[i]);
+        load_scalar(&scs[4 * i], sb + 32 * i);
+    }
+    msm_jpts(&out, pts, scs, n);
+    Py_END_ALLOW_THREADS
+    free(pts); free(scs);
+    PyBuffer_Release(&bp); PyBuffer_Release(&bi); PyBuffer_Release(&bs);
+    uint8_t o96[96], oinf;
+    store_affine(o96, &oinf, &out);
+    return Py_BuildValue("(y#i)", (char *)o96, (Py_ssize_t)96, (int)oinf);
+}
+
+/* mul_batch(points96, inf, scalars32) -> (out96*n, inf*n): out[i]=P_i*s_i */
+static PyObject *py_mul_batch(PyObject *self, PyObject *args) {
+    Py_buffer bp, bi, bs;
+    if (!PyArg_ParseTuple(args, "y*y*y*", &bp, &bi, &bs)) return NULL;
+    size_t n = (size_t)bi.len;
+    if ((size_t)bp.len != 96 * n || (size_t)bs.len != 32 * n) {
+        PyBuffer_Release(&bp); PyBuffer_Release(&bi); PyBuffer_Release(&bs);
+        return value_error("mul_batch: buffer length mismatch");
+    }
+    PyObject *outp = PyBytes_FromStringAndSize(NULL, 96 * n);
+    PyObject *outi = PyBytes_FromStringAndSize(NULL, n);
+    if (!outp || !outi) { Py_XDECREF(outp); Py_XDECREF(outi); return NULL; }
+    uint8_t *op = (uint8_t *)PyBytes_AS_STRING(outp);
+    uint8_t *oi = (uint8_t *)PyBytes_AS_STRING(outi);
+    const uint8_t *pb = (const uint8_t *)bp.buf;
+    const uint8_t *ib = (const uint8_t *)bi.buf;
+    const uint8_t *sb = (const uint8_t *)bs.buf;
+    Py_BEGIN_ALLOW_THREADS
+    for (size_t i = 0; i < n; i++) {
+        jpt p, r;
+        u64 k[4];
+        load_affine(&p, pb + 96 * i, ib[i]);
+        load_scalar(k, sb + 32 * i);
+        j_mul(&r, &p, k);
+        store_affine(op + 96 * i, &oi[i], &r);
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&bp); PyBuffer_Release(&bi); PyBuffer_Release(&bs);
+    return Py_BuildValue("(NN)", outp, outi);
+}
+
+/* add_batch(a96, ainf, b96, binf) -> (out96*n, inf*n) */
+static PyObject *py_add_batch(PyObject *self, PyObject *args) {
+    Py_buffer ba, bai, bb, bbi;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*", &ba, &bai, &bb, &bbi)) return NULL;
+    size_t n = (size_t)bai.len;
+    if ((size_t)ba.len != 96 * n || (size_t)bb.len != 96 * n || (size_t)bbi.len != n) {
+        PyBuffer_Release(&ba); PyBuffer_Release(&bai); PyBuffer_Release(&bb); PyBuffer_Release(&bbi);
+        return value_error("add_batch: buffer length mismatch");
+    }
+    PyObject *outp = PyBytes_FromStringAndSize(NULL, 96 * n);
+    PyObject *outi = PyBytes_FromStringAndSize(NULL, n);
+    if (!outp || !outi) { Py_XDECREF(outp); Py_XDECREF(outi); return NULL; }
+    uint8_t *op = (uint8_t *)PyBytes_AS_STRING(outp);
+    uint8_t *oi = (uint8_t *)PyBytes_AS_STRING(outi);
+    const uint8_t *ab = (const uint8_t *)ba.buf, *aib = (const uint8_t *)bai.buf;
+    const uint8_t *bbuf = (const uint8_t *)bb.buf, *bib = (const uint8_t *)bbi.buf;
+    Py_BEGIN_ALLOW_THREADS
+    for (size_t i = 0; i < n; i++) {
+        jpt p, q, r;
+        load_affine(&p, ab + 96 * i, aib[i]);
+        load_affine(&q, bbuf + 96 * i, bib[i]);
+        j_add(&r, &p, &q);
+        store_affine(op + 96 * i, &oi[i], &r);
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&ba); PyBuffer_Release(&bai); PyBuffer_Release(&bb); PyBuffer_Release(&bbi);
+    return Py_BuildValue("(NN)", outp, outi);
+}
+
+/* sum(points96, inf) -> (out96, inf:int) */
+static PyObject *py_sum(PyObject *self, PyObject *args) {
+    Py_buffer bp, bi;
+    if (!PyArg_ParseTuple(args, "y*y*", &bp, &bi)) return NULL;
+    size_t n = (size_t)bi.len;
+    if ((size_t)bp.len != 96 * n) {
+        PyBuffer_Release(&bp); PyBuffer_Release(&bi);
+        return value_error("sum: buffer length mismatch");
+    }
+    const uint8_t *pb = (const uint8_t *)bp.buf;
+    const uint8_t *ib = (const uint8_t *)bi.buf;
+    jpt acc;
+    Py_BEGIN_ALLOW_THREADS
+    acc = JINF;
+    for (size_t i = 0; i < n; i++) {
+        jpt p;
+        load_affine(&p, pb + 96 * i, ib[i]);
+        j_add(&acc, &acc, &p);
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&bp); PyBuffer_Release(&bi);
+    uint8_t o96[96], oinf;
+    store_affine(o96, &oinf, &acc);
+    return Py_BuildValue("(y#i)", (char *)o96, (Py_ssize_t)96, (int)oinf);
+}
+
+/* linear_combine(points96, inf, scalars32) one mul per point then running
+ * sum — same as msm but returns each partial? No: msm covers it. */
+
+/* decompress_batch(comp48*n, check:int) -> (out96*n, inf*n); raises on bad */
+static PyObject *py_decompress_batch(PyObject *self, PyObject *args) {
+    Py_buffer bc;
+    int check;
+    if (!PyArg_ParseTuple(args, "y*i", &bc, &check)) return NULL;
+    if (bc.len % 48 != 0) {
+        PyBuffer_Release(&bc);
+        return value_error("decompress: length not a multiple of 48");
+    }
+    size_t n = (size_t)bc.len / 48;
+    PyObject *outp = PyBytes_FromStringAndSize(NULL, 96 * n);
+    PyObject *outi = PyBytes_FromStringAndSize(NULL, n);
+    if (!outp || !outi) { Py_XDECREF(outp); Py_XDECREF(outi); return NULL; }
+    uint8_t *op = (uint8_t *)PyBytes_AS_STRING(outp);
+    uint8_t *oi = (uint8_t *)PyBytes_AS_STRING(outi);
+    const uint8_t *cb = (const uint8_t *)bc.buf;
+    long bad = -1;
+    const char *why = "";
+    Py_BEGIN_ALLOW_THREADS
+    for (size_t i = 0; i < n && bad < 0; i++) {
+        const uint8_t *d = cb + 48 * i;
+        uint8_t flags = d[0];
+        if (!(flags & 0x80)) { bad = (long)i; why = "uncompressed G1 encodings are not supported"; break; }
+        if (flags & 0x40) {
+            int nz = (flags & 0x3F) != 0;
+            for (int k = 1; k < 48; k++) nz |= d[k] != 0;
+            if (nz) { bad = (long)i; why = "malformed infinity encoding"; break; }
+            memset(op + 96 * i, 0, 96);
+            oi[i] = 1;
+            continue;
+        }
+        uint8_t xbe[48];
+        memcpy(xbe, d, 48);
+        xbe[0] &= 0x1F;
+        /* canonical range check: x < p */
+        u64 xl[6];
+        for (int t = 0; t < 6; t++) {
+            u64 v = 0;
+            const uint8_t *q = xbe + 48 - 8 * (t + 1);
+            for (int k = 0; k < 8; k++) v = (v << 8) | q[k];
+            xl[t] = v;
+        }
+        if (fp_geq(xl, FP_P.l)) { bad = (long)i; why = "x coordinate not canonical"; break; }
+        fp x, x3b, y;
+        fp_from_be(&x, xbe);
+        fp_sqr(&x3b, &x);
+        fp_mul(&x3b, &x3b, &x);
+        /* + b = 4 */
+        fp four;
+        fp_dbl(&four, &FP_ONE);
+        fp_dbl(&four, &four);
+        fp_add(&x3b, &x3b, &four);
+        if (!fp_sqrt(&y, &x3b)) { bad = (long)i; why = "x is not on the curve"; break; }
+        int largest = fp_is_lex_largest(&y);
+        if (((flags >> 5) & 1) != largest) fp_neg(&y, &y);
+        if (check) {
+            jpt p = {x, y, FP_ONE}, r;
+            j_mul(&r, &p, FR_ORDER);
+            if (!j_is_inf(&r)) { bad = (long)i; why = "point not in the prime-order subgroup"; break; }
+        }
+        fp_to_be(op + 96 * i, &x);
+        fp_to_be(op + 96 * i + 48, &y);
+        oi[i] = 0;
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&bc);
+    if (bad >= 0) {
+        Py_DECREF(outp); Py_DECREF(outi);
+        PyErr_Format(PyExc_ValueError, "%s (element %ld)", why, bad);
+        return NULL;
+    }
+    return Py_BuildValue("(NN)", outp, outi);
+}
+
+/* compress_batch(points96, inf) -> comp48*n */
+static PyObject *py_compress_batch(PyObject *self, PyObject *args) {
+    Py_buffer bp, bi;
+    if (!PyArg_ParseTuple(args, "y*y*", &bp, &bi)) return NULL;
+    size_t n = (size_t)bi.len;
+    if ((size_t)bp.len != 96 * n) {
+        PyBuffer_Release(&bp); PyBuffer_Release(&bi);
+        return value_error("compress: buffer length mismatch");
+    }
+    PyObject *out = PyBytes_FromStringAndSize(NULL, 48 * n);
+    if (!out) { PyBuffer_Release(&bp); PyBuffer_Release(&bi); return NULL; }
+    uint8_t *ob = (uint8_t *)PyBytes_AS_STRING(out);
+    const uint8_t *pb = (const uint8_t *)bp.buf;
+    const uint8_t *ib = (const uint8_t *)bi.buf;
+    Py_BEGIN_ALLOW_THREADS
+    for (size_t i = 0; i < n; i++) {
+        uint8_t *d = ob + 48 * i;
+        if (ib[i]) {
+            memset(d, 0, 48);
+            d[0] = 0xC0;
+            continue;
+        }
+        memcpy(d, pb + 96 * i, 48); /* x is already canonical BE */
+        d[0] |= 0x80;
+        fp y;
+        fp_from_be(&y, pb + 96 * i + 48);
+        if (fp_is_lex_largest(&y)) d[0] |= 0x20;
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&bp); PyBuffer_Release(&bi);
+    return out;
+}
+
+/* jacobian_to_affine_batch(xyz 144*n canonical BE) -> (out96*n, inf*n) */
+static PyObject *py_jac_to_affine(PyObject *self, PyObject *args) {
+    Py_buffer bj;
+    if (!PyArg_ParseTuple(args, "y*", &bj)) return NULL;
+    if (bj.len % 144 != 0) {
+        PyBuffer_Release(&bj);
+        return value_error("jacobian buffer length not a multiple of 144");
+    }
+    size_t n = (size_t)bj.len / 144;
+    PyObject *outp = PyBytes_FromStringAndSize(NULL, 96 * n);
+    PyObject *outi = PyBytes_FromStringAndSize(NULL, n);
+    if (!outp || !outi) { Py_XDECREF(outp); Py_XDECREF(outi); return NULL; }
+    uint8_t *op = (uint8_t *)PyBytes_AS_STRING(outp);
+    uint8_t *oi = (uint8_t *)PyBytes_AS_STRING(outi);
+    const uint8_t *jb = (const uint8_t *)bj.buf;
+    Py_BEGIN_ALLOW_THREADS
+    for (size_t i = 0; i < n; i++) {
+        jpt p;
+        fp_from_be(&p.x, jb + 144 * i);
+        fp_from_be(&p.y, jb + 144 * i + 48);
+        fp_from_be(&p.z, jb + 144 * i + 96);
+        store_affine(op + 96 * i, &oi[i], &p);
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&bj);
+    return Py_BuildValue("(NN)", outp, outi);
+}
+
+/* subgroup_check_batch(points96, inf) -> first bad index or -1 */
+static PyObject *py_subgroup_check(PyObject *self, PyObject *args) {
+    Py_buffer bp, bi;
+    if (!PyArg_ParseTuple(args, "y*y*", &bp, &bi)) return NULL;
+    size_t n = (size_t)bi.len;
+    if ((size_t)bp.len != 96 * n) {
+        PyBuffer_Release(&bp); PyBuffer_Release(&bi);
+        return value_error("subgroup_check: buffer length mismatch");
+    }
+    const uint8_t *pb = (const uint8_t *)bp.buf;
+    const uint8_t *ib = (const uint8_t *)bi.buf;
+    long bad = -1;
+    Py_BEGIN_ALLOW_THREADS
+    for (size_t i = 0; i < n; i++) {
+        jpt p, r;
+        load_affine(&p, pb + 96 * i, ib[i]);
+        if (j_is_inf(&p)) continue;
+        j_mul(&r, &p, FR_ORDER);
+        if (!j_is_inf(&r)) { bad = (long)i; break; }
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&bp); PyBuffer_Release(&bi);
+    return PyLong_FromLong(bad);
+}
+
+static PyMethodDef Methods[] = {
+    {"msm", py_msm, METH_VARARGS,
+     "msm(points96, inf_flags, scalars32_le) -> (affine96, inf)"},
+    {"mul_batch", py_mul_batch, METH_VARARGS,
+     "mul_batch(points96, inf, scalars32) -> (affine96*n, inf*n)"},
+    {"add_batch", py_add_batch, METH_VARARGS,
+     "add_batch(a96, ainf, b96, binf) -> (affine96*n, inf*n)"},
+    {"sum", py_sum, METH_VARARGS, "sum(points96, inf) -> (affine96, inf)"},
+    {"decompress_batch", py_decompress_batch, METH_VARARGS,
+     "decompress_batch(comp48*n, check) -> (affine96*n, inf*n)"},
+    {"compress_batch", py_compress_batch, METH_VARARGS,
+     "compress_batch(points96, inf) -> comp48*n"},
+    {"jacobian_to_affine_batch", py_jac_to_affine, METH_VARARGS,
+     "jacobian_to_affine_batch(xyz144*n) -> (affine96*n, inf*n)"},
+    {"subgroup_check_batch", py_subgroup_check, METH_VARARGS,
+     "subgroup_check_batch(points96, inf) -> first bad index or -1"},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_g1_native",
+    "Native BLS12-381 G1 host backend (Montgomery Fq, Jacobian G1, Pippenger MSM)",
+    -1, Methods,
+};
+
+PyMODINIT_FUNC PyInit__g1_native(void) { return PyModule_Create(&moduledef); }

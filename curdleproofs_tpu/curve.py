@@ -237,19 +237,157 @@ G1_GENERATOR = G1()
 G1_IDENTITY = G1.identity()
 
 
+# ---------------------------------------------------------------------------
+# Native host backend (csrc/g1.c): Montgomery-limb Fq, Jacobian G1,
+# Pippenger MSM, batched serde. The TPU analog of the reference's Rust
+# py_arkworks_bls12381 L0 (stubs/__init__.pyi:5-54) — used for
+# latency-critical small batches; large MSMs go to the TPU kernels.
+# The pure-Python code above remains the behavioural spec and fallback.
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - exercised via the public API when built
+    from curdleproofs_tpu import _g1_native as _NAT
+except ImportError:  # pragma: no cover
+    _NAT = None
+
+
+def native_enabled() -> bool:
+    return _NAT is not None
+
+
+def _enc96(p: G1) -> Tuple[bytes, int]:
+    if p.inf:
+        return b"\x00" * 96, 1
+    return p.x.to_bytes(48, "big") + p.y.to_bytes(48, "big"), 0
+
+
+def _enc_batch(points: List[G1]) -> Tuple[bytes, bytes]:
+    return (
+        b"".join(_enc96(p)[0] for p in points),
+        bytes(1 if p.inf else 0 for p in points),
+    )
+
+
+def _dec96(b: bytes, inf: int) -> G1:
+    if inf:
+        return G1.identity()
+    return G1(int.from_bytes(b[:48], "big"), int.from_bytes(b[48:96], "big"))
+
+
+def _dec_batch(pb: bytes, ib: bytes) -> List[G1]:
+    return [_dec96(pb[96 * i : 96 * i + 96], ib[i]) for i in range(len(ib))]
+
+
 def g1_sum(points: Iterable[G1]) -> G1:
+    pts = list(points)
+    if _NAT is not None and len(pts) > 4:
+        pb, ib = _enc_batch(pts)
+        return _dec96(*_NAT.sum(pb, ib))
     acc = _JINF
-    for p in points:
+    for p in pts:
         acc = _jadd(acc, p._jacobian())
     return G1._from_jacobian(acc)
 
 
 def msm_host(bases: List[G1], scalars: List[Fr]) -> G1:
-    """Exact host MSM (oracle for the TPU engine; reference
-    msm_accumulator.py:6-12 semantics)."""
+    """Exact host MSM (reference msm_accumulator.py:6-12 semantics):
+    native Pippenger when the extension is built, Python fallback else."""
     if len(bases) != len(scalars):
         raise ValueError("msm length mismatch")
+    if _NAT is not None:
+        pb, ib = _enc_batch(bases)
+        sb = b"".join(s.v.to_bytes(32, "little") for s in scalars)
+        return _dec96(*_NAT.msm(pb, ib, sb))
     acc = _JINF
     for b, s in zip(bases, scalars):
         acc = _jadd(acc, _jmul(b._jacobian(), s.v))
     return G1._from_jacobian(acc)
+
+
+def mul_host_batch(bases: List[G1], scalars: List[Fr]) -> List[G1]:
+    """[b_i * s_i] — one native call for a whole vector of point muls."""
+    if len(bases) != len(scalars):
+        raise ValueError("mul_host_batch length mismatch")
+    if _NAT is not None:
+        pb, ib = _enc_batch(bases)
+        sb = b"".join(s.v.to_bytes(32, "little") for s in scalars)
+        return _dec_batch(*_NAT.mul_batch(pb, ib, sb))
+    return [b * s for b, s in zip(bases, scalars)]
+
+
+def add_host_batch(a: List[G1], b: List[G1]) -> List[G1]:
+    """[a_i + b_i] elementwise."""
+    if len(a) != len(b):
+        raise ValueError("add_host_batch length mismatch")
+    if _NAT is not None:
+        pa, ia = _enc_batch(a)
+        pb, ib = _enc_batch(b)
+        return _dec_batch(*_NAT.add_batch(pa, ia, pb, ib))
+    return [x + y for x, y in zip(a, b)]
+
+
+def compress_host_batch(points: List[G1]) -> bytes:
+    """Concatenated 48-byte compressed encodings."""
+    if _NAT is not None:
+        pb, ib = _enc_batch(points)
+        return _NAT.compress_batch(pb, ib)
+    return b"".join(p.to_compressed_bytes() for p in points)
+
+
+def decompress_host_batch(data: bytes, check: bool = False) -> List[G1]:
+    """Decode len(data)/48 compressed points (ValueError on any bad one)."""
+    if len(data) % 48 != 0:
+        raise ValueError("compressed batch length must be a multiple of 48")
+    if _NAT is not None:
+        return _dec_batch(*_NAT.decompress_batch(data, 1 if check else 0))
+    dec = G1.from_compressed_bytes if check else G1.from_compressed_bytes_unchecked
+    return [dec(data[48 * i : 48 * i + 48]) for i in range(len(data) // 48)]
+
+
+if _NAT is not None:
+
+    def _nat_add(self: G1, other: G1) -> G1:
+        pa, ia = _enc96(self)
+        pb, ib = _enc96(other)
+        op, oi = _NAT.add_batch(pa, bytes([ia]), pb, bytes([ib]))
+        return _dec96(op, oi[0])
+
+    def _nat_sub(self: G1, other: G1) -> G1:
+        return _nat_add(self, -other)
+
+    def _nat_mul(self: G1, scalar: Fr) -> G1:
+        pb, ib = _enc96(self)
+        op, oi = _NAT.mul_batch(pb, bytes([ib]), scalar.v.to_bytes(32, "little"))
+        return _dec96(op, oi[0])
+
+    def _nat_in_subgroup(self: G1) -> bool:
+        pb, ib = _enc96(self)
+        return _NAT.subgroup_check_batch(pb, ib) < 0
+
+    def _nat_from_compressed_unchecked(cls, data: bytes) -> G1:
+        if len(data) != 48:
+            raise ValueError(
+                f"G1 compressed encoding must be 48 bytes, got {len(data)}"
+            )
+        op, oi = _NAT.decompress_batch(data, 0)
+        return _dec96(op, oi[0])
+
+    def _nat_from_compressed(cls, data: bytes) -> G1:
+        if len(data) != 48:
+            raise ValueError(
+                f"G1 compressed encoding must be 48 bytes, got {len(data)}"
+            )
+        op, oi = _NAT.decompress_batch(data, 1)
+        return _dec96(op, oi[0])
+
+    G1.__add__ = _nat_add  # type: ignore[method-assign]
+    G1.__sub__ = _nat_sub  # type: ignore[method-assign]
+    G1.__mul__ = _nat_mul  # type: ignore[method-assign]
+    G1.__rmul__ = _nat_mul  # type: ignore[method-assign]
+    G1.in_subgroup = _nat_in_subgroup  # type: ignore[method-assign]
+    G1.from_compressed_bytes_unchecked = classmethod(  # type: ignore[method-assign]
+        _nat_from_compressed_unchecked
+    )
+    G1.from_compressed_bytes = classmethod(  # type: ignore[method-assign]
+        _nat_from_compressed
+    )
