@@ -362,7 +362,7 @@ if _NAT is not None:
 
     def _nat_in_subgroup(self: G1) -> bool:
         pb, ib = _enc96(self)
-        return _NAT.subgroup_check_batch(pb, ib) < 0
+        return _NAT.subgroup_check_batch(pb, bytes([ib])) < 0
 
     def _nat_from_compressed_unchecked(cls, data: bytes) -> G1:
         if len(data) != 48:

@@ -1,0 +1,184 @@
+"""Ethereum Whisk consensus-facing byte-level API.
+
+The interface consumed by consensus-specs test harnesses: trackers are
+pairs of 48-byte BLS pubkeys, proofs are flat byte strings, and IsValid*
+wrap the raising verifiers into bools. Behaviour parity:
+whisk_interface.py:24-190 (transcript domains b"curdleproofs" /
+b"whisk_opening_proof", identical wire layouts).
+
+Tracker columns are decoded with ONE native batch decompression per column
+instead of a per-tracker Python loop."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import ClassVar, List, NewType, Optional, Sequence, Tuple
+
+from curdleproofs_tpu.curve import (
+    G1,
+    G1_GENERATOR,
+    compress_host_batch,
+    decompress_host_batch,
+)
+from curdleproofs_tpu.fields import Fr
+from curdleproofs_tpu.protocol.primitives import CurdleproofsCrs
+from curdleproofs_tpu.protocol.shuffle import (
+    CurdleProofsProof,
+    shuffle_permute_and_commit_input,
+)
+from curdleproofs_tpu.protocol.sigma import TrackerOpeningProof
+from curdleproofs_tpu.protocol.wire import PT, WireStruct
+from curdleproofs_tpu.transcript.oracle import Transcript
+from curdleproofs_tpu.utils.rng import ProofRng, default_rng
+from curdleproofs_tpu.utils.serde import BufReader
+
+BLSPubkey = NewType("BLSPubkey", bytes)  # 48-byte compressed G1
+WhiskShuffleProofBytes = bytes
+SerializedWhiskTrackerProof = bytes
+
+_OPENING_DOMAIN = b"whisk_opening_proof"
+
+
+class WhiskTracker:
+    """A (r*G, k*r*G) tracker pair in compressed form."""
+
+    __slots__ = ("r_G", "k_r_G")
+
+    def __init__(self, r_G: BLSPubkey, k_r_G: BLSPubkey) -> None:
+        self.r_G = r_G
+        self.k_r_G = k_r_G
+
+
+@dataclass(frozen=True)
+class WhiskShuffleProof(WireStruct):
+    M: G1
+    proof: CurdleProofsProof
+
+    WIRE: ClassVar = (("M", PT), ("proof", CurdleProofsProof))
+
+
+def _tracker_columns(
+    trackers: Sequence[WhiskTracker],
+) -> Tuple[List[G1], List[G1]]:
+    """Decode all r_G then all k_r_G points — two batch native calls."""
+    r_blob = b"".join(t.r_G for t in trackers)
+    krg_blob = b"".join(t.k_r_G for t in trackers)
+    return decompress_host_batch(r_blob), decompress_host_batch(krg_blob)
+
+
+def _encode_trackers(vec_T: List[G1], vec_U: List[G1]) -> List[WhiskTracker]:
+    t_blob = compress_host_batch(vec_T)
+    u_blob = compress_host_batch(vec_U)
+    return [
+        WhiskTracker(
+            BLSPubkey(t_blob[48 * i : 48 * i + 48]),
+            BLSPubkey(u_blob[48 * i : 48 * i + 48]),
+        )
+        for i in range(len(vec_T))
+    ]
+
+
+def GenerateWhiskShuffleProof(
+    crs: CurdleproofsCrs,
+    pre_shuffle_trackers: Sequence[WhiskTracker],
+    rng: Optional[ProofRng] = None,
+) -> Tuple[List[WhiskTracker], WhiskShuffleProofBytes]:
+    """Shuffle + re-randomize the trackers and prove it; returns the
+    post-shuffle trackers and the serialized proof."""
+    rng = rng or default_rng()
+    permutation = rng.permutation(crs.ell)
+    k = rng.random_scalar()
+
+    vec_R, vec_S = _tracker_columns(pre_shuffle_trackers)
+    vec_T, vec_U, M, m_blinders = shuffle_permute_and_commit_input(
+        crs, vec_R, vec_S, permutation, k, rng
+    )
+    proof = CurdleProofsProof.new(
+        crs=crs,
+        vec_R=vec_R,
+        vec_S=vec_S,
+        vec_T=vec_T,
+        vec_U=vec_U,
+        M=M,
+        permutation=permutation,
+        k=k,
+        vec_m_blinders=m_blinders,
+        rng=rng,
+    )
+    return _encode_trackers(vec_T, vec_U), WhiskShuffleProof(M, proof).to_bytes()
+
+
+def AssertIsValidWhiskShuffleProof(
+    crs: CurdleproofsCrs,
+    pre_shuffle_trackers: Sequence[WhiskTracker],
+    post_shuffle_trackers: Sequence[WhiskTracker],
+    whisk_shuffle_proof_bytes: WhiskShuffleProofBytes,
+) -> None:
+    vec_R, vec_S = _tracker_columns(pre_shuffle_trackers)
+    vec_T, vec_U = _tracker_columns(post_shuffle_trackers)
+    wrapped = WhiskShuffleProof.from_bytes(
+        BufReader(whisk_shuffle_proof_bytes), crs.ell + crs.n_blinders
+    )
+    wrapped.proof.verify(crs, vec_R, vec_S, vec_T, vec_U, wrapped.M)
+
+
+def IsValidWhiskShuffleProof(
+    crs: CurdleproofsCrs,
+    pre_shuffle_trackers: Sequence[WhiskTracker],
+    post_shuffle_trackers: Sequence[WhiskTracker],
+    whisk_shuffle_proof_bytes: WhiskShuffleProofBytes,
+) -> bool:
+    """bool wrapper over the raising verifier (whisk_interface.py:74-87)."""
+    try:
+        AssertIsValidWhiskShuffleProof(
+            crs,
+            pre_shuffle_trackers,
+            post_shuffle_trackers,
+            whisk_shuffle_proof_bytes,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def GenerateWhiskTrackerProof(
+    tracker: WhiskTracker,
+    k: Fr,
+    rng: Optional[ProofRng] = None,
+) -> SerializedWhiskTrackerProof:
+    """Prove knowledge of k binding the tracker to k*G (128 bytes)."""
+    r_G = G1.from_compressed_bytes_unchecked(tracker.r_G)
+    proof = TrackerOpeningProof.new(
+        k_r_G=G1.from_compressed_bytes_unchecked(tracker.k_r_G),
+        r_G=r_G,
+        k_G=G1_GENERATOR * k,
+        k=k,
+        transcript=Transcript(_OPENING_DOMAIN),
+        rng=rng,
+    )
+    return proof.to_bytes()
+
+
+def AssertIsValidWhiskOpeningProof(
+    tracker: WhiskTracker,
+    k_commitment: BLSPubkey,
+    tracker_proof: SerializedWhiskTrackerProof,
+) -> None:
+    proof = TrackerOpeningProof.from_bytes(BufReader(tracker_proof))
+    proof.verify(
+        Transcript(_OPENING_DOMAIN),
+        G1.from_compressed_bytes_unchecked(tracker.k_r_G),
+        G1.from_compressed_bytes_unchecked(tracker.r_G),
+        G1.from_compressed_bytes_unchecked(k_commitment),
+    )
+
+
+def IsValidWhiskOpeningProof(
+    tracker: WhiskTracker,
+    k_commitment: BLSPubkey,
+    tracker_proof: SerializedWhiskTrackerProof,
+) -> bool:
+    try:
+        AssertIsValidWhiskOpeningProof(tracker, k_commitment, tracker_proof)
+        return True
+    except Exception:
+        return False
