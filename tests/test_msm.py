@@ -73,7 +73,9 @@ def test_naive_ladder_matches():
 def test_scan_recursive_path(monkeypatch):
     # force the recursive Blelloch levels (SMALL_WIDTH below vector size)
     monkeypatch.setattr(oscan, "SMALL_WIDTH", 4)
-    pts = rand_points(32)
+    # 16 lanes exercises two recursive Blelloch levels above SMALL_WIDTH while
+    # keeping the per-shape jadd compile count (the dominant cost) low
+    pts = rand_points(16)
     jp = og.lift(og.pack_points(pts))
     got = og.unpack_points(og._to_affine_jit(oscan.inclusive_scan(jp)))
     acc = G1.identity()
