@@ -76,15 +76,25 @@ def _build(R: int, W: int, N: int, M: int, BN: int, BM: int):
             ((t >> jnp.uint32(16)) & jnp.uint32(0xFF)),
             ((t >> jnp.uint32(24)) & jnp.uint32(0xFF)),
         ]
-        a = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)  # (4R, BN)
+        # Mosaic has no direct u32/bool -> bf16 cast; route via i32 -> f32
+        # (all values < 256, so every hop is exact)
+        a = (
+            jnp.concatenate(planes, axis=0)
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )  # (4R, BN)
         cols = lax.broadcasted_iota(jnp.int32, (BN, BM), 0) + k * BN
         idx = idx_ref[...].reshape(1, BM)
-        oh = (cols == idx).astype(jnp.bfloat16)  # (BN, BM)
+        oh = (
+            (cols == idx).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        )  # (BN, BM)
         acc_ref[...] += jnp.dot(a, oh, preferred_element_type=jnp.float32)
 
         @pl.when(k == K - 1)
         def _finish():
-            p = acc_ref[...].astype(jnp.uint32).reshape(4, R, BM)
+            # f32 -> i32 -> u32 (values are exact byte sums < 256)
+            p = acc_ref[...].astype(jnp.int32).astype(jnp.uint32).reshape(4, R, BM)
             out_ref[...] = (
                 p[0] | (p[1] << jnp.uint32(8)) | (p[2] << jnp.uint32(16))
                 | (p[3] << jnp.uint32(24))
@@ -118,17 +128,71 @@ def _build(R: int, W: int, N: int, M: int, BN: int, BM: int):
     return call
 
 
-def _pick_blocks(N: int, M: int):
-    BN = 512 if N % 512 == 0 else _largest_div(N, 512)
-    BM = 256 if M % 256 == 0 else _largest_div(M, 256)
-    return BN, BM
+@functools.lru_cache(maxsize=None)
+def _build_wlead(R: int, W: int, N: int, M: int, BN: int, BM: int):
+    """Batched one-hot gather with the window axis LEADING — the layout
+    Mosaic's block constraints require when W > 1 (the last two block dims
+    must be divisible by (8, 128) or equal to the array dims; a (R, 1, BN)
+    block over a (R, W, N) table is rejected on real TPUs, a (1, R, BN)
+    block over (W, R, N) is legal since R == R).
 
+    table (W, R, N) u32, idx (W, 1, M) i32 -> out (W, R, M) u32."""
+    K = N // BN
 
-def _largest_div(n: int, cap: int) -> int:
-    b = 1
-    while b * 2 <= cap and n % (b * 2) == 0:
-        b *= 2
-    return b
+    def kernel(tab_ref, idx_ref, out_ref, acc_ref):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        t = tab_ref[...].reshape(R, BN)
+        planes = [
+            (t & jnp.uint32(0xFF)),
+            ((t >> jnp.uint32(8)) & jnp.uint32(0xFF)),
+            ((t >> jnp.uint32(16)) & jnp.uint32(0xFF)),
+            ((t >> jnp.uint32(24)) & jnp.uint32(0xFF)),
+        ]
+        a = (
+            jnp.concatenate(planes, axis=0)
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )
+        cols = lax.broadcasted_iota(jnp.int32, (BN, BM), 0) + k * BN
+        idx = idx_ref[...].reshape(1, BM)
+        oh = (
+            (cols == idx).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        )
+        acc_ref[...] += jnp.dot(a, oh, preferred_element_type=jnp.float32)
+
+        @pl.when(k == K - 1)
+        def _finish():
+            p = acc_ref[...].astype(jnp.int32).astype(jnp.uint32).reshape(4, R, BM)
+            out_ref[...] = (
+                p[0] | (p[1] << jnp.uint32(8)) | (p[2] << jnp.uint32(16))
+                | (p[3] << jnp.uint32(24))
+            ).reshape(1, R, BM)
+
+    grid = (W, M // BM, K)
+
+    def call(table_wlead, idx_wlead):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                _vspec((1, R, BN), lambda w, j, k: (w, 0, k)),
+                _vspec((1, 1, BM), lambda w, j, k: (w, 0, j)),
+            ],
+            out_specs=_vspec((1, R, BM), lambda w, j, k: (w, 0, j)),
+            out_shape=jax.ShapeDtypeStruct((W, R, M), jnp.uint32),
+            scratch_shapes=(
+                [pltpu.VMEM((4 * R, BM), jnp.float32)] if pltpu is not None else []
+            ),
+            interpret=_interpret(),
+        )(table_wlead, idx_wlead)
+
+    return call
 
 
 def gather_u32(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -137,16 +201,29 @@ def gather_u32(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     table: (R, W, N) uint32; idx: (W, M) int32 with values in [0, N) (or any
     out-of-range value to gather 0). Returns (R, W, M) uint32:
     out[r, w, j] = table[r, w, idx[w, j]].
+
+    Both tiled axes are padded to Mosaic-legal block multiples (table columns
+    with zeros, indices with -1, which gathers 0).
     """
     R, W, N = table.shape
     W2, M = idx.shape
     assert W2 == W
-    BN, BM = _pick_blocks(N, M)
+    BN, BM = 512, 256
+    Np = -(-N // BN) * BN
     Mp = -(-M // BM) * BM
+    if Np != N:
+        table = jnp.pad(table, ((0, 0), (0, 0), (0, Np - N)))
     if Mp != M:
         idx = jnp.pad(idx, ((0, 0), (0, Mp - M)), constant_values=-1)
-    out = _build(R, W, N, Mp, BN, BM)(table, idx.astype(jnp.int32))
-    return out[:, :, :M]
+    if W == 1:
+        # (R, 1, BN) blocks are legal when the W dim is 1 (block == array dim)
+        out = _build(R, W, Np, Mp, BN, BM)(table, idx.astype(jnp.int32))
+        return out[:, :, :M]
+    # W > 1: window-leading layout (one cheap transpose each way)
+    out = _build_wlead(R, W, Np, Mp, BN, BM)(
+        jnp.transpose(table, (1, 0, 2)), idx.astype(jnp.int32)[:, None, :]
+    )
+    return jnp.transpose(out, (1, 0, 2))[:, :, :M]
 
 
 def gather_u32_shared(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -94,3 +94,40 @@ def test_pippenger_small_window_batches():
         og.pack_points(pts), og.pack_scalars(scs), c=8, window_batch=3
     )
     assert got == msm_host(pts, scs)
+
+
+def test_onehot_gather_exact():
+    from curdleproofs_tpu.ops import gather as ogather
+
+    key_rng = random.Random(7)
+    import numpy as np
+
+    table = np.array(
+        [[key_rng.randrange(1 << 32) for _ in range(64)] for _ in range(5)],
+        dtype=np.uint64,
+    ).astype(np.uint32)
+    idx = np.array(
+        [[key_rng.randrange(-2, 64) for _ in range(40)] for _ in range(3)],
+        dtype=np.int32,
+    )
+    got = np.asarray(ogather.gather_u32(jnp.asarray(table)[:, None, :].repeat(3, 1), jnp.asarray(idx)))
+    want = np.asarray(
+        ogather.gather_u32_xla(jnp.asarray(table)[:, None, :].repeat(3, 1), jnp.asarray(idx))
+    )
+    assert (got == want).all()
+
+    shared = np.asarray(ogather.gather_u32_shared(jnp.asarray(table), jnp.asarray(idx)))
+    assert (shared == want).all()
+
+
+def test_msm_hostsort_matches_oracle():
+    import numpy as np
+
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+    n = 96  # non-power-of-two; includes zero scalars and infinity points
+    pts = rand_points(n - 2) + [G1.identity(), G1()]
+    scs = rand_scalars(n - 3) + [Fr(0), Fr(0), Fr(5)]
+    sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
+    got = omsm.msm_pippenger_hostsort(og.pack_points(pts), sc_np, c=5)
+    assert got == msm_host(pts, scs)
