@@ -244,11 +244,11 @@ class IPA(WireStruct):
 
         # check 1:  <gamma, L_C> + (B_c + alpha*C + alpha^2*z*beta*H)
         #           + <gamma^-1, R_C>  =?  <c_final*s, G> + c_final*d_final*beta*H
+        # (L and R fold into ONE MSM over gamma || gamma^-1)
         H = crs_H * beta
-        lhs_c = (
-            self.vec_L_C.msm(gammas)
-            + (self.B_c + C * alpha + H * (alpha * alpha * inner_prod))
-            + self.vec_R_C.msm(gammas_inv)
+        lr_weights = gammas.cat(gammas_inv)
+        lhs_c = self.vec_L_C.cat(self.vec_R_C).msm(lr_weights) + (
+            self.B_c + C * alpha + H * (alpha * alpha * inner_prod)
         )
         msm_accumulator.accumulate_check(
             lhs_c,
@@ -260,10 +260,8 @@ class IPA(WireStruct):
 
         # check 2: the D-side, expressed over G via vec_u so the rescaled
         # basis G' never materializes (grand_prod.py:148-155 trick)
-        lhs_d = (
-            self.vec_L_D.msm(gammas)
-            + (self.B_d + D * alpha)
-            + self.vec_R_D.msm(gammas_inv)
+        lhs_d = self.vec_L_D.cat(self.vec_R_D).msm(lr_weights) + (
+            self.B_d + D * alpha
         )
         msm_accumulator.accumulate_check(
             lhs_d, G, s_inv * as_scalars(vec_u) * self.d_final
@@ -395,11 +393,12 @@ class SameMSMProof(WireStruct):
             rounds,
         )
         weights = fold_exponents(gammas.tolist(), n) * self.x_final
+        lr_weights = gammas.cat(gammas_inv)
 
         for L, R, base_point, basis in (
             (self.vec_L_A, self.vec_R_A, self.B_a + A * alpha, G),
             (self.vec_L_T, self.vec_R_T, self.B_t + Z_t * alpha, T),
             (self.vec_L_U, self.vec_R_U, self.B_u + Z_u * alpha, U),
         ):
-            lhs = L.msm(gammas) + base_point + R.msm(gammas_inv)
+            lhs = L.cat(R).msm(lr_weights) + base_point
             msm_accumulator.accumulate_check(lhs, basis, weights)

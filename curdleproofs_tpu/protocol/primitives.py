@@ -214,13 +214,20 @@ class MSMAccumulator:
     def verify(self) -> None:
         lhs = PointVec(self._commitments).msm(ScalarVec.of(self._rhos))
 
+        # dedup by encoding but keep the first-seen point OBJECT — no
+        # decompression (sqrt chains) needed to rebuild the basis
         merged: dict = {}
         for pv, sv in self._terms:
-            for enc, s in zip(pv.compressed(), sv.toints()):
+            encs = pv.compressed()
+            for i, s in enumerate(sv.toints()):
+                enc = encs[i]
                 if enc == _INF_ENC:
                     continue
                 prev = merged.get(enc)
-                merged[enc] = s if prev is None else (prev + s) % FR_MOD
-        bases = PointVec(decompress_host_batch(b"".join(merged.keys())))
-        rhs = bases.msm(ScalarVec.of(merged.values()))
+                if prev is None:
+                    merged[enc] = [pv[i], s]
+                else:
+                    prev[1] = (prev[1] + s) % FR_MOD
+        bases = PointVec([p for p, _ in merged.values()])
+        rhs = bases.msm(ScalarVec.of([s for _, s in merged.values()]))
         check(rhs == lhs, "batched MSM accumulator check failed")

@@ -189,11 +189,12 @@ class PointVec:
     over the same basis (the CRS case) pack exactly once.
     """
 
-    __slots__ = ("_pts", "_dev")
+    __slots__ = ("_pts", "_dev", "_enc")
 
     def __init__(self, points: Sequence[G1]) -> None:
         self._pts = list(points)
         self._dev = None
+        self._enc: Optional[bytes] = None
 
     @classmethod
     def single(cls, p: G1) -> "PointVec":
@@ -228,8 +229,11 @@ class PointVec:
     # -- serde ----------------------------------------------------------------
 
     def compressed(self) -> List[bytes]:
-        """Per-point 48-byte compressed encodings (one native call)."""
-        blob = _cv.compress_host_batch(self._pts)
+        """Per-point 48-byte compressed encodings (one native call, cached —
+        the CRS vectors are re-absorbed/deduped many times per proof)."""
+        if self._enc is None:
+            self._enc = _cv.compress_host_batch(self._pts)
+        blob = self._enc
         return [blob[48 * i : 48 * i + 48] for i in range(len(self._pts))]
 
     # -- batched group operations ----------------------------------------------
