@@ -301,6 +301,168 @@ static void j_neg(jpt *r, const jpt *p) {
     r->z = p->z;
 }
 
+/* ------------------------------------------------- GLV endomorphism ----
+ * phi(X, Y, Z) = (beta*X, Y, Z) acts as multiplication by lambda on G1,
+ * with r = lambda^2 + lambda + 1 (BLS lattice is exact). Scalars split as
+ * k = (-1)^neg1 * |k1| + k2*lambda with |k1| < 2^130, 0 <= k2 <= lambda,
+ * via Babai rounding c1 = floor((k*(lambda+1) + r/2) / r) (Barrett, shift
+ * 2^640, one correction step) — the same construction as the TPU kernels'
+ * host decomposition (curdleproofs_tpu/ops/glv.py:127-169). */
+
+static const fp FP_BETA_M = {{0xcd03c9e48671f071ULL, 0x5dab22461fcda5d2ULL,
+                              0x587042afd3851b95ULL, 0x8eb60ebe01bacb9eULL,
+                              0x03f97d6e83d050d2ULL, 0x18f0206554638741ULL}};
+static const u64 GLV_M[7] = {0xdb7b86bbf1d4d267ULL, 0x101613ce4457858fULL,
+                             0x42737a020c0d6393ULL, 0x65043eb4be4bad71ULL,
+                             0x38b5dcb707e08ed3ULL, 0x355094edfede377cULL,
+                             0x0000000000000002ULL};
+static const u64 GLV_LAMP1[2] = {0x0000000100000000ULL, 0xac45a4010001a402ULL};
+static const u64 GLV_LAM[2] = {0x00000000ffffffffULL, 0xac45a4010001a402ULL};
+static const u64 GLV_HALF_R[4] = {0x7fffffff80000000ULL, 0xa9ded2017fff2dffULL,
+                                  0x199cec0404d0ec02ULL, 0x39f6d3a994cebea4ULL};
+
+static void j_phi(jpt *r, const jpt *p) {
+    fp_mul(&r->x, &p->x, &FP_BETA_M);
+    r->y = p->y;
+    r->z = p->z;
+}
+
+/* k (4 LE limbs, canonical < r) -> neg1, |k1| (3 limbs), k2 (3 limbs) */
+static void glv_decompose(const u64 *k, int *neg1, u64 *k1, u64 *k2) {
+    /* num = k*(lambda+1) + r/2  (< 2^384, 6 limbs; buffer 7) */
+    u64 num[7] = {0};
+    for (int i = 0; i < 4; i++) {
+        u64 c = 0;
+        for (int j = 0; j < 2; j++) {
+            u128 s = (u128)k[i] * GLV_LAMP1[j] + num[i + j] + c;
+            num[i + j] = (u64)s;
+            c = (u64)(s >> 64);
+        }
+        for (int t = i + 2; c && t < 7; t++) {
+            u128 s = (u128)num[t] + c;
+            num[t] = (u64)s;
+            c = (u64)(s >> 64);
+        }
+    }
+    u64 c = 0;
+    for (int j = 0; j < 7; j++) {
+        u128 s = (u128)num[j] + (j < 4 ? GLV_HALF_R[j] : 0) + c;
+        num[j] = (u64)s;
+        c = (u64)(s >> 64);
+    }
+    /* Barrett: q_est = floor(num*M / 2^640) in {q-1, q} */
+    u64 prod[14] = {0};
+    for (int i = 0; i < 7; i++) {
+        u64 cc = 0;
+        for (int j = 0; j < 7; j++) {
+            u128 s = (u128)num[i] * GLV_M[j] + prod[i + j] + cc;
+            prod[i + j] = (u64)s;
+            cc = (u64)(s >> 64);
+        }
+        for (int t = i + 7; cc && t < 14; t++) {
+            u128 s = (u128)prod[t] + cc;
+            prod[t] = (u64)s;
+            cc = (u64)(s >> 64);
+        }
+    }
+    u64 q[3] = {prod[10], prod[11], prod[12]};
+    /* rem = num - q*r; if rem >= r then q += 1 */
+    u64 qr[8] = {0};
+    for (int i = 0; i < 3; i++) {
+        u64 cc = 0;
+        for (int j = 0; j < 4; j++) {
+            u128 s = (u128)q[i] * FR_ORDER[j] + qr[i + j] + cc;
+            qr[i + j] = (u64)s;
+            cc = (u64)(s >> 64);
+        }
+        qr[i + 4] += cc;
+    }
+    u64 rem[7];
+    u64 borrow = 0;
+    for (int j = 0; j < 7; j++) {
+        u128 s = (u128)num[j] - qr[j] - borrow;
+        rem[j] = (u64)s;
+        borrow = (s >> 64) ? 1 : 0;
+    }
+    int ge = 1; /* rem >= r ? (rem has at most 5 meaningful limbs) */
+    if (rem[4] || rem[5] || rem[6]) {
+        ge = 1;
+    } else {
+        for (int j = 3; j >= 0; j--) {
+            if (rem[j] > FR_ORDER[j]) { ge = 1; break; }
+            if (rem[j] < FR_ORDER[j]) { ge = 0; break; }
+        }
+    }
+    if (ge) {
+        u128 s = (u128)q[0] + 1;
+        q[0] = (u64)s;
+        if (s >> 64) { s = (u128)q[1] + 1; q[1] = (u64)s; q[2] += (u64)(s >> 64); }
+    }
+    /* clamp q <= lambda */
+    int over = (q[2] != 0) || (q[1] > GLV_LAM[1]) ||
+               (q[1] == GLV_LAM[1] && q[0] > GLV_LAM[0]);
+    if (over) { q[0] = GLV_LAM[0]; q[1] = GLV_LAM[1]; q[2] = 0; }
+    k2[0] = q[0]; k2[1] = q[1]; k2[2] = 0;
+    /* k1 = k - q*lambda (signed; magnitude < 2^130, 3 limbs) */
+    u64 ql[5] = {0};
+    for (int i = 0; i < 3; i++) {
+        u64 cc = 0;
+        for (int j = 0; j < 2; j++) {
+            u128 s = (u128)q[i] * GLV_LAM[j] + ql[i + j] + cc;
+            ql[i + j] = (u64)s;
+            cc = (u64)(s >> 64);
+        }
+        if (i + 2 < 5) ql[i + 2] += cc;
+    }
+    u64 k5[5] = {k[0], k[1], k[2], k[3], 0};
+    u64 d[5];
+    borrow = 0;
+    for (int j = 0; j < 5; j++) {
+        u128 s = (u128)k5[j] - ql[j] - borrow;
+        d[j] = (u64)s;
+        borrow = (s >> 64) ? 1 : 0;
+    }
+    *neg1 = (int)borrow;
+    if (borrow) { /* magnitude = ql - k */
+        u64 b2 = 0;
+        for (int j = 0; j < 5; j++) {
+            u128 s = (u128)ql[j] - k5[j] - b2;
+            d[j] = (u64)s;
+            b2 = (s >> 64) ? 1 : 0;
+        }
+    }
+    k1[0] = d[0]; k1[1] = d[1]; k1[2] = d[2];
+}
+
+/* r = (-1)^neg1 * |k1| * P + k2 * phi(P); k1, k2 = 3 LE limbs (< 2^132) */
+static void j_mul_glv(jpt *r, const jpt *p, int neg1, const u64 *k1,
+                      const u64 *k2) {
+    if (j_is_inf(p)) { *r = JINF; return; }
+    jpt tu[16], t2[16];
+    tu[1] = *p;
+    for (int i = 2; i < 16; i++) j_add(&tu[i], &tu[i - 1], p);
+    for (int i = 1; i < 16; i++) j_phi(&t2[i], &tu[i]);
+    if (neg1)
+        for (int i = 1; i < 16; i++) j_neg(&tu[i], &tu[i]);
+    jpt acc = JINF;
+    for (int shift = 128; shift >= 0; shift -= 4) {
+        if (!j_is_inf(&acc)) {
+            j_dbl(&acc, &acc); j_dbl(&acc, &acc);
+            j_dbl(&acc, &acc); j_dbl(&acc, &acc);
+        }
+        int limb = shift / 64, off = shift % 64;
+        u64 d1 = k1[limb] >> off, d2 = k2[limb] >> off;
+        if (off > 60 && limb < 2) {
+            d1 |= k1[limb + 1] << (64 - off);
+            d2 |= k2[limb + 1] << (64 - off);
+        }
+        d1 &= 0xF; d2 &= 0xF;
+        if (d1) j_add(&acc, &acc, &tu[d1]);
+        if (d2) j_add(&acc, &acc, &t2[d2]);
+    }
+    *r = acc;
+}
+
 /* 4-bit-window scalar multiplication; scalar = 4 canonical LE limbs */
 static void j_mul(jpt *r, const jpt *p, const u64 *k) {
     int bits = 0;
@@ -366,21 +528,25 @@ static void load_scalar(u64 *k, const uint8_t *le32) {
 
 /* --------------------------------------------------------------- MSM */
 
-static int msm_window_bits(size_t n) {
-    if (n < 32) return 4;
-    if (n < 128) return 6;
-    if (n < 1024) return 8;
-    if (n < 8192) return 10;
-    if (n < 65536) return 12;
-    return 14;
+/* window size minimizing W(c)*(n + 2*2^c) for nbits-wide scalars */
+static int msm_window_bits(size_t n, int nbits) {
+    int best_c = 4;
+    double best = 1e30;
+    for (int c = 2; c <= 16; c++) {
+        double W = (double)((nbits + c - 1) / c);
+        double cost = W * ((double)n + 2.0 * (double)((size_t)1 << c));
+        if (cost < best) { best = cost; best_c = c; }
+    }
+    return best_c;
 }
 
-/* Pippenger over preloaded Jacobian points and 4-limb scalars. */
-static void msm_jpts(jpt *out, const jpt *pts, const u64 *scalars, size_t n) {
+/* Pippenger over preloaded Jacobian points; scalars have `slimbs` 64-bit
+ * limbs each and at most `nbits` significant bits. */
+static void msm_jpts_w(jpt *out, const jpt *pts, const u64 *scalars,
+                       size_t n, int slimbs, int nbits) {
     if (n == 0) { *out = JINF; return; }
-    if (n == 1) { j_mul(out, &pts[0], scalars); return; }
-    int c = msm_window_bits(n);
-    int W = (255 + c - 1) / c;
+    int c = msm_window_bits(n, nbits);
+    int W = (nbits + c - 1) / c;
     size_t B = (size_t)1 << c;
     jpt *buckets = (jpt *)malloc(B * sizeof(jpt));
     jpt acc = JINF;
@@ -391,8 +557,9 @@ static void msm_jpts(jpt *out, const jpt *pts, const u64 *scalars, size_t n) {
         int bit0 = w * c;
         for (size_t i = 0; i < n; i++) {
             int limb = bit0 / 64, off = bit0 % 64;
-            u64 d = scalars[4 * i + limb] >> off;
-            if (off + c > 64 && limb < 3) d |= scalars[4 * i + limb + 1] << (64 - off);
+            u64 d = scalars[slimbs * i + limb] >> off;
+            if (off + c > 64 && limb < slimbs - 1)
+                d |= scalars[slimbs * i + limb + 1] << (64 - off);
             d &= (B - 1);
             if (d) j_add(&buckets[d], &buckets[d], &pts[i]);
         }
@@ -406,6 +573,33 @@ static void msm_jpts(jpt *out, const jpt *pts, const u64 *scalars, size_t n) {
     }
     free(buckets);
     *out = acc;
+}
+
+/* Full-width MSM: GLV-split every (point, scalar) pair into
+ * (+-P, |k1|) and (phi(P), k2), then one 132-bit Pippenger over 2n pairs
+ * — halves the window count for the same bucket cost. */
+static void msm_jpts(jpt *out, const jpt *pts, const u64 *scalars, size_t n) {
+    if (n == 0) { *out = JINF; return; }
+    if (n == 1) {
+        int neg1;
+        u64 k1[3], k2[3];
+        glv_decompose(scalars, &neg1, k1, k2);
+        j_mul_glv(out, &pts[0], neg1, k1, k2);
+        return;
+    }
+    jpt *pts2 = (jpt *)malloc(2 * n * sizeof(jpt));
+    u64 *sc2 = (u64 *)malloc(2 * n * 3 * sizeof(u64));
+    for (size_t i = 0; i < n; i++) {
+        int neg1;
+        glv_decompose(&scalars[4 * i], &neg1, &sc2[6 * i], &sc2[6 * i + 3]);
+        if (neg1) j_neg(&pts2[2 * i], &pts[i]);
+        else pts2[2 * i] = pts[i];
+        if (j_is_inf(&pts[i])) pts2[2 * i + 1] = JINF;
+        else j_phi(&pts2[2 * i + 1], &pts[i]);
+    }
+    msm_jpts_w(out, pts2, sc2, 2 * n, 3, 132);
+    free(pts2);
+    free(sc2);
 }
 
 /* ------------------------------------------------------ Python module */
@@ -464,10 +658,12 @@ static PyObject *py_mul_batch(PyObject *self, PyObject *args) {
     Py_BEGIN_ALLOW_THREADS
     for (size_t i = 0; i < n; i++) {
         jpt p, r;
-        u64 k[4];
+        u64 k[4], k1[3], k2[3];
+        int neg1;
         load_affine(&p, pb + 96 * i, ib[i]);
         load_scalar(k, sb + 32 * i);
-        j_mul(&r, &p, k);
+        glv_decompose(k, &neg1, k1, k2);
+        j_mul_glv(&r, &p, neg1, k1, k2);
         store_affine(op + 96 * i, &oi[i], &r);
     }
     Py_END_ALLOW_THREADS

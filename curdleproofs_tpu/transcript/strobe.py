@@ -91,8 +91,12 @@ class Strobe128:
         off, n = 0, len(data)
         while off < n:
             take = min(STROBE_R - pos, n - off)
-            for i in range(take):
-                st[pos + i] ^= data[off + i]
+            # whole-slice XOR via int arithmetic (little-endian order is
+            # irrelevant for a bytewise XOR; ~5x the per-byte Python loop)
+            x = int.from_bytes(st[pos : pos + take], "little") ^ int.from_bytes(
+                data[off : off + take], "little"
+            )
+            st[pos : pos + take] = x.to_bytes(take, "little")
             pos += take
             off += take
             if pos == STROBE_R:

@@ -18,12 +18,12 @@ setup(
         Extension(
             "curdleproofs_tpu._keccak_native",
             sources=["csrc/keccak.c"],
-            extra_compile_args=["-O3"],
+            extra_compile_args=["-O3", "-march=native", "-funroll-loops"],
         ),
         Extension(
             "curdleproofs_tpu._g1_native",
             sources=["csrc/g1.c"],
-            extra_compile_args=["-O3"],
+            extra_compile_args=["-O3", "-march=native", "-funroll-loops"],
         ),
     ],
 )
