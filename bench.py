@@ -85,6 +85,37 @@ def main():
     else:
         point_ops = W * (2 * n + 3 * (1 << c)) + 255  # scan + bucket combine
     value = point_ops / t
+
+    # protocol-level latency extras (native host backend, ell=124 Whisk spec)
+    from curdleproofs_tpu.models.crs import CurdleproofsCrs
+    from curdleproofs_tpu.models.whisk import (
+        BLSPubkey,
+        GenerateWhiskShuffleProof,
+        IsValidWhiskShuffleProof,
+        WhiskTracker,
+    )
+    from curdleproofs_tpu.utils.rng import ProofRng
+
+    prng = ProofRng(1)
+    crs = CurdleproofsCrs.new(124, 4, prng)
+    gen = G1()
+    pre = []
+    for _ in range(124):
+        r_s, k_s = prng.random_scalar(), prng.random_scalar()
+        r_G = gen * r_s
+        pre.append(
+            WhiskTracker(
+                BLSPubkey(r_G.to_compressed_bytes()),
+                BLSPubkey((r_G * k_s).to_compressed_bytes()),
+            )
+        )
+    GenerateWhiskShuffleProof(crs, pre, prng)  # warm
+    t0 = time.time()
+    post, wproof = GenerateWhiskShuffleProof(crs, pre, prng)
+    whisk_prove_s = time.time() - t0
+    t0 = time.time()
+    assert IsValidWhiskShuffleProof(crs, pre, post, wproof)
+    whisk_verify_s = time.time() - t0
     out = {
         "metric": "g1_msm_point_ops_per_s_per_chip",
         "value": round(value),
@@ -99,6 +130,8 @@ def main():
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
         "reps": reps,
+        "whisk124_prove_s": round(whisk_prove_s, 3),
+        "whisk124_verify_s": round(whisk_verify_s, 3),
     }
     print(json.dumps(out))
 
