@@ -16,14 +16,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _touch(r):
+    """Force execution by materializing ONE element per output (the axon
+    tunnel returns early from block_until_ready; transferring the full array
+    would instead measure tunnel bandwidth)."""
+    jax.tree_util.tree_map(
+        lambda a: np.asarray(a[(slice(0, 1),) * a.ndim]), r
+    )
+
+
 def bench(fn, args, reps=2):
-    r = fn(*args)
-    jax.tree_util.tree_map(lambda a: np.asarray(a).ravel()[:1], r)
+    _touch(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        r = fn(*args)
-        jax.tree_util.tree_map(lambda a: np.asarray(a).ravel()[:1], r)
+        _touch(fn(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 

@@ -176,7 +176,7 @@ def bench_sharded_msm(n, seed):
     from curdleproofs_tpu.curve import G1
     from curdleproofs_tpu.fields import FR_MOD, Fr
     from curdleproofs_tpu.parallel.mesh import make_mesh
-    from curdleproofs_tpu.parallel.msm import msm_sharded
+    from curdleproofs_tpu.parallel.msm import msm_sharded_ladder
 
     d = len(jax.devices())
     gen = G1()
@@ -191,9 +191,9 @@ def bench_sharded_msm(n, seed):
         for i in range(n)
     ]
     mesh = make_mesh(d)
-    r0 = msm_sharded(pts, scs, mesh=mesh)  # warmup
+    r0 = msm_sharded_ladder(pts, scs, mesh=mesh)  # warmup
     t0 = time.time()
-    r1 = msm_sharded(pts, scs, mesh=mesh)
+    r1 = msm_sharded_ladder(pts, scs, mesh=mesh)
     dt = time.time() - t0
     assert r0 == r1
     return {"n": n, "devices": d, "wall_s": round(dt, 4)}

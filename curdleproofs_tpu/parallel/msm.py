@@ -30,6 +30,7 @@ from curdleproofs_tpu.curve import G1
 from curdleproofs_tpu.fields import Fr
 from curdleproofs_tpu.ops import g1 as og
 from curdleproofs_tpu.ops import msm as omsm
+from curdleproofs_tpu.ops import scan as oscan
 from curdleproofs_tpu.ops.g1 import APoints, JPoints
 from curdleproofs_tpu.parallel.mesh import make_mesh
 
@@ -40,6 +41,105 @@ def _shard_kernel(points: APoints, digits: jnp.ndarray, c: int):
     """Per-shard window partials, with a leading shard axis for gathering."""
     total, bsums = omsm._window_partials(points, digits, c)
     return total.x[None], total.y[None], total.z[None], bsums.x[None], bsums.y[None], bsums.z[None]
+
+
+def msm_sharded_ladder(
+    bases: Sequence[G1],
+    scalars: Sequence[Fr],
+    mesh: Optional[Mesh] = None,
+    point_axis: str = "shard",
+) -> G1:
+    """Point-sharded MSM over the production fused-ladder kernel.
+
+    Each shard runs the whole GLV dual-table ladder + tree reduce on its
+    local points; exactly ONE Jacobian point (288 B) per shard crosses the
+    interconnect. This is the deployment path for large multi-chip MSMs —
+    the per-window-partial variant (msm_sharded) is kept for the
+    bucket-reduction collective pattern and as a second implementation for
+    cross-checks. Results are bit-identical for any mesh shape (exact adds).
+    """
+    from curdleproofs_tpu.ops import pallas_g1
+
+    if len(bases) != len(scalars):
+        raise ValueError("msm length mismatch")
+    if not bases:
+        return G1.identity()
+    mesh = mesh or make_mesh()
+    D = mesh.shape[point_axis]
+
+    # identical power-of-two local width per shard, >= one Pallas tile
+    n = len(bases)
+    local = 128
+    while local * D < n:
+        local *= 2
+    m = local * D
+    points = og.pack_points(list(bases) + [G1.identity()] * (m - n))
+    scs = list(scalars) + [Fr(0)] * (m - n)
+
+    pspec = APoints(P(None, point_axis), P(None, point_axis), P(point_axis))
+    out_spec = (P(point_axis, None), P(point_axis, None), P(point_axis, None))
+
+    if pallas_g1.enabled():
+        from curdleproofs_tpu.ops import glv
+        from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+        import numpy as np
+
+        sc16 = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
+        s1, neg1, s2 = glv.decompose(sc16.astype(np.uint64))
+
+        def kernel(px, py, pinf, ng, sa, sb):
+            acc = pallas_g1.scalar_mul_glv(APoints(px, py, pinf), sa, ng, sb)
+            r = oscan.tree_reduce_hybrid(acc)
+            return r.x[None], r.y[None], r.z[None]
+
+        in_specs = (
+            P(None, point_axis),
+            P(None, point_axis),
+            P(point_axis),
+            P(point_axis),
+            P(None, point_axis),
+            P(None, point_axis),
+        )
+        args = (
+            points.x,
+            points.y,
+            points.inf,
+            jnp.asarray(neg1),
+            jnp.asarray(s1),
+            jnp.asarray(s2),
+        )
+    else:
+
+        def kernel(px, py, pinf, sc):
+            acc = og.scalar_mul(APoints(px, py, pinf), sc)
+            r = oscan.tree_reduce_hybrid(acc)
+            return r.x[None], r.y[None], r.z[None]
+
+        in_specs = (
+            P(None, point_axis),
+            P(None, point_axis),
+            P(point_axis),
+            P(None, point_axis),
+        )
+        args = (points.x, points.y, points.inf, og.pack_scalars(scs))
+
+    f = jax.jit(
+        shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            check_vma=False,
+        )
+    )
+    rx, ry, rz = f(*args)
+    # gathered shape is (shards, 24); host combine wants limb-major (24, D)
+    partials = og.jpoints_to_host(JPoints(rx.T, ry.T, rz.T))
+    acc = G1.identity()
+    for p in partials:
+        acc = acc + p
+    return acc
 
 
 def msm_sharded(

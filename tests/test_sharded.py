@@ -44,3 +44,16 @@ def test_sharded_msm_shard_invariance():
     for n_dev in (1, 2, 4):
         got = msm_sharded(pts, scs, mesh=make_mesh(n_dev), c=4)
         assert got == expect, f"mesh={n_dev}"
+
+
+@pytest.mark.parametrize("d", [2, 8])
+def test_sharded_ladder_matches_oracle(d):
+    from curdleproofs_tpu.parallel.msm import msm_sharded_ladder
+
+    rng = random.Random(5150)
+    n = 16 * d + 3  # non-multiple of shard count; padding handles it
+    pts = [G1() * Fr(rng.randrange(1, FR_MOD)) for _ in range(n - 1)]
+    pts.append(G1.identity())
+    scs = [Fr(rng.randrange(FR_MOD)) for _ in range(n - 1)] + [Fr(0)]
+    mesh = make_mesh(d)
+    assert msm_sharded_ladder(pts, scs, mesh=mesh) == msm_host(pts, scs)
