@@ -12,11 +12,7 @@ import json
 from dataclasses import dataclass
 from typing import ClassVar, List, Optional, Tuple
 
-from curdleproofs_tpu.curve import (
-    G1,
-    compress_host_batch,
-    decompress_host_batch,
-)
+from curdleproofs_tpu.curve import G1, decompress_host_batch
 from curdleproofs_tpu.fields import Fr
 from curdleproofs_tpu.protocol.folding import SameMSMProof
 from curdleproofs_tpu.protocol.primitives import (
