@@ -17,6 +17,7 @@ from curdleproofs_tpu.models.shuffle import (
     verify_shuffle_proofs,
 )
 from curdleproofs_tpu.models.whisk import (
+    AreValidWhiskShuffleProofs,
     BLSPubkey,
     GenerateWhiskShuffleProof,
     GenerateWhiskTrackerProof,
@@ -44,6 +45,7 @@ __all__ = [
     "VerifierInput",
     "shuffle_permute_and_commit_input",
     "verify_shuffle_proofs",
+    "AreValidWhiskShuffleProofs",
     "BLSPubkey",
     "GenerateWhiskShuffleProof",
     "GenerateWhiskTrackerProof",

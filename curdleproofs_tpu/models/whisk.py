@@ -5,6 +5,7 @@ from curdleproofs_tpu.protocol.whisk import (  # noqa: F401
     WhiskShuffleProofBytes,
     WhiskShuffleProof,
     WhiskTracker,
+    AreValidWhiskShuffleProofs,
     GenerateWhiskShuffleProof,
     GenerateWhiskTrackerProof,
     AssertIsValidWhiskOpeningProof,

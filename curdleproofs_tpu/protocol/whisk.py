@@ -140,6 +140,35 @@ def IsValidWhiskShuffleProof(
         return False
 
 
+def AreValidWhiskShuffleProofs(
+    crs: CurdleproofsCrs,
+    instances: Sequence[
+        Tuple[Sequence[WhiskTracker], Sequence[WhiskTracker], WhiskShuffleProofBytes]
+    ],
+) -> bool:
+    """Batched verification at the consensus byte level (framework
+    extension): every proof's equations share ONE deferred MSM, so K
+    epochs of shuffle proofs cost a single large multiexponentiation.
+    All-or-nothing: returns False if ANY instance fails (callers that need
+    blame attribution fall back to per-proof IsValidWhiskShuffleProof)."""
+    from curdleproofs_tpu.protocol.primitives import MSMAccumulator
+
+    try:
+        acc = MSMAccumulator()
+        n = crs.ell + crs.n_blinders
+        for pre, post, proof_bytes in instances:
+            vec_R, vec_S = _tracker_columns(pre)
+            vec_T, vec_U = _tracker_columns(post)
+            wrapped = WhiskShuffleProof.from_bytes(BufReader(proof_bytes), n)
+            wrapped.proof.verify(
+                crs, vec_R, vec_S, vec_T, vec_U, wrapped.M, msm_accumulator=acc
+            )
+        acc.verify()
+        return True
+    except Exception:
+        return False
+
+
 def GenerateWhiskTrackerProof(
     tracker: WhiskTracker,
     k: Fr,

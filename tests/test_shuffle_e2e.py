@@ -216,3 +216,42 @@ def test_whisk_tracker_proof_api():
     # wrong k fails
     other = GenerateWhiskTrackerProof(tracker, rng.random_scalar(), rng)
     assert not IsValidWhiskOpeningProof(tracker, k_commitment, other)
+
+
+def test_whisk_batched_verification():
+    from curdleproofs_tpu.models.whisk import (
+        AreValidWhiskShuffleProofs,
+        GenerateWhiskShuffleProof,
+    )
+
+    rng = ProofRng(55)
+    ell = 12
+    crs = CurdleproofsCrs.new(ell, N_BLINDERS, rng)
+    gen = G1()
+    instances = []
+    for _ in range(3):
+        pre = []
+        for _ in range(ell):
+            r, k = rng.random_scalar(), rng.random_scalar()
+            r_G = gen * r
+            pre.append(
+                WhiskTracker(
+                    BLSPubkey(r_G.to_compressed_bytes()),
+                    BLSPubkey((r_G * k).to_compressed_bytes()),
+                )
+            )
+        post, proof_bytes = GenerateWhiskShuffleProof(crs, pre, rng)
+        instances.append((pre, post, proof_bytes))
+
+    assert AreValidWhiskShuffleProofs(crs, instances)
+    # one bad instance poisons the batch
+    pre0, post0, pb0 = instances[0]
+    bad = bytearray(pb0)
+    bad[60] ^= 1
+    assert not AreValidWhiskShuffleProofs(
+        crs, [(pre0, post0, bytes(bad))] + instances[1:]
+    )
+    # swapped pre/post fails
+    assert not AreValidWhiskShuffleProofs(
+        crs, [(post0, pre0, pb0)] + instances[1:]
+    )
