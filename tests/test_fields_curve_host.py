@@ -143,3 +143,34 @@ class TestG1:
             expect = expect + b_ * s_
         assert msm_host(bases, scalars) == expect
         assert g1_sum(bases) == msm_host(bases, [Fr(1)] * n)
+
+
+def test_native_glv_backend_matches_pure_python():
+    """The native backend's GLV decomposition + dual-table mul/MSM must
+    agree with the pure-Python Jacobian oracle, including the Babai-clamp
+    corner scalars (csrc/g1.c glv_decompose / j_mul_glv / msm_jpts)."""
+    import random
+
+    from curdleproofs_tpu import curve as cv
+    from curdleproofs_tpu.ops.glv import LAMBDA
+
+    rng = random.Random(17)
+    pts = [G1() * Fr(rng.randrange(1, FR_MOD)) for _ in range(12)] + [
+        G1.identity()
+    ]
+    edge = [0, 1, 2, FR_MOD - 1, LAMBDA, LAMBDA + 1, LAMBDA - 1,
+            FR_MOD // 2, (1 << 129) % FR_MOD, FR_MOD - LAMBDA]
+    scs = [Fr(rng.randrange(FR_MOD)) for _ in range(3)] + [Fr(v) for v in edge]
+
+    def oracle_mul(p, k):
+        return G1._from_jacobian(cv._jmul(p._jacobian(), k))
+
+    got = cv.mul_host_batch(pts, scs)
+    for p, s, g in zip(pts, scs, got):
+        assert g == oracle_mul(p, s.v), f"mul mismatch for {s!r}"
+
+    acc = cv._JINF
+    for p, s in zip(pts, scs):
+        acc = cv._jadd(acc, cv._jmul(p._jacobian(), s.v))
+    assert cv.msm_host(pts, scs) == G1._from_jacobian(acc)
+    assert cv.msm_host(pts[:1], scs[:1]) == oracle_mul(pts[0], scs[0].v)
