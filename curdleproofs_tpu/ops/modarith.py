@@ -199,34 +199,46 @@ def mont_mul(spec: FieldSpec, a, b):
     return _mont_mul_looped(spec, a, b)
 
 
+def _shifted_acc(t, rows, offset: int, total: int):
+    """t += rows placed at column `offset` — ONE vectorized add via
+    zero-extension (static concatenate; no scatter, Pallas-lowerable).
+    rows: (R, *B); t: (total, *B)."""
+    R = rows.shape[0]
+    zshape = lambda n: (n,) + rows.shape[1:]  # noqa: E731
+    parts = []
+    if offset:
+        parts.append(jnp.zeros(zshape(offset), dtype=rows.dtype))
+    parts.append(rows)
+    tail = total - offset - R
+    if tail:
+        parts.append(jnp.zeros(zshape(tail), dtype=rows.dtype))
+    return t + jnp.concatenate(parts, axis=0)
+
+
 def _mont_mul_cols(spec: FieldSpec, a, b):
-    """Same dataflow as _mont_mul_unrolled, but the 2L+1 column accumulators
-    are individual (*B,) arrays combined with plain adds — no .at[] updates,
-    so the whole body lowers inside Pallas TPU kernels (everything stays in
-    VMEM/registers there)."""
+    """Same dataflow as _mont_mul_unrolled, but column accumulation happens
+    on ONE (2L+1, *B) array with whole-vector shifted adds instead of .at[]
+    scatters or per-column scalar graphs — Pallas-lowerable AND ~6x fewer
+    jaxpr equations than the former per-column formulation (Mosaic compile
+    time of the fused kernels scales with equation count)."""
     L = spec.nlimbs
     n0inv = spec.n0inv
     modv = _mod_vec(spec, a.ndim)
-    zero = jnp.zeros_like(a[0])
+    T = 2 * L + 1
 
-    t = [zero] * (2 * L + 1)
+    t = jnp.zeros((T,) + a.shape[1:], dtype=_U32)
     for i in range(L):
         p = a[i][None, ...] * b  # (L, *B)
-        lo = p & _MASK
-        hi = p >> _SHIFT
-        for j in range(L):
-            t[i + j] = t[i + j] + lo[j]
-            t[i + j + 1] = t[i + j + 1] + hi[j]
+        t = _shifted_acc(t, p & _MASK, i, T)
+        t = _shifted_acc(t, p >> _SHIFT, i + 1, T)
 
     for i in range(L):
         m = (t[i] * n0inv) & _MASK
         pm = m[None, ...] * modv  # (L, *B)
-        lo = pm & _MASK
-        hi = pm >> _SHIFT
-        for j in range(L):
-            t[i + j] = t[i + j] + lo[j]
-            t[i + j + 1] = t[i + j + 1] + hi[j]
-        t[i + 1] = t[i + 1] + (t[i] >> _SHIFT)
+        t = _shifted_acc(t, pm & _MASK, i, T)
+        t = _shifted_acc(t, pm >> _SHIFT, i + 1, T)
+        # t[i] is now ≡ 0 mod 2^16; push its carry into the pivot column
+        t = _shifted_acc(t, (t[i] >> _SHIFT)[None, ...], i + 1, T)
 
     res, carry = _ripple_carry(t[L : 2 * L])
     top = t[2 * L] + carry
@@ -314,37 +326,31 @@ def mont_sqr(spec: FieldSpec, a):
 def _mont_sqr_cols(spec: FieldSpec, a):
     """Squaring-specialized Montgomery product for Pallas kernel bodies:
     off-diagonal limb products computed once and doubled (~300 multiplies vs
-    576). Column bounds: <= ~24 doubled 17-bit terms + diagonal + reduction
-    terms < 2^23, inside uint32."""
+    576), accumulated with whole-vector shifted adds. Column bounds:
+    <= ~24 doubled 17-bit terms + diagonal + reduction terms < 2^23."""
     L = spec.nlimbs
     n0inv = spec.n0inv
     modv = _mod_vec(spec, a.ndim)
-    zero = jnp.zeros_like(a[0])
+    T = 2 * L + 1
 
-    t = [zero] * (2 * L + 1)
+    t = jnp.zeros((T,) + a.shape[1:], dtype=_U32)
     for i in range(L):
         # off-diagonal: 2 * a_i * a_j for j > i (shift-doubled 16-bit halves)
         if i + 1 < L:
             p = a[i][None, ...] * a[i + 1 :]
-            lo2 = (p & _MASK) << jnp.uint32(1)
-            hi2 = (p >> _SHIFT) << jnp.uint32(1)
-            for jj, j in enumerate(range(i + 1, L)):
-                t[i + j] = t[i + j] + lo2[jj]
-                t[i + j + 1] = t[i + j + 1] + hi2[jj]
+            t = _shifted_acc(t, (p & _MASK) << jnp.uint32(1), 2 * i + 1, T)
+            t = _shifted_acc(t, (p >> _SHIFT) << jnp.uint32(1), 2 * i + 2, T)
         # diagonal: a_i^2
-        d = a[i] * a[i]
-        t[2 * i] = t[2 * i] + (d & _MASK)
-        t[2 * i + 1] = t[2 * i + 1] + (d >> _SHIFT)
+        d = (a[i] * a[i])[None, ...]
+        t = _shifted_acc(t, d & _MASK, 2 * i, T)
+        t = _shifted_acc(t, d >> _SHIFT, 2 * i + 1, T)
 
     for i in range(L):
         m = (t[i] * n0inv) & _MASK
         pm = m[None, ...] * modv
-        lo = pm & _MASK
-        hi = pm >> _SHIFT
-        for j in range(L):
-            t[i + j] = t[i + j] + lo[j]
-            t[i + j + 1] = t[i + j + 1] + hi[j]
-        t[i + 1] = t[i + 1] + (t[i] >> _SHIFT)
+        t = _shifted_acc(t, pm & _MASK, i, T)
+        t = _shifted_acc(t, pm >> _SHIFT, i + 1, T)
+        t = _shifted_acc(t, (t[i] >> _SHIFT)[None, ...], i + 1, T)
 
     res, carry = _ripple_carry(t[L : 2 * L])
     top = t[2 * L] + carry

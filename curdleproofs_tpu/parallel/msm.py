@@ -18,6 +18,7 @@ __graft_entry__.dryrun_multichip; on hardware the same code runs over ICI
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import List, Optional, Sequence
 
@@ -41,6 +42,76 @@ def _shard_kernel(points: APoints, digits: jnp.ndarray, c: int):
     """Per-shard window partials, with a leading shard axis for gathering."""
     total, bsums = omsm._window_partials(points, digits, c)
     return total.x[None], total.y[None], total.z[None], bsums.x[None], bsums.y[None], bsums.z[None]
+
+
+@functools.lru_cache(maxsize=None)
+def _pippenger_shard_fn(mesh: Mesh, point_axis: str, c: int):
+    """Jitted shard_map window-partial kernel, cached per (mesh, axis, c)."""
+    pspec = APoints(P(None, point_axis), P(None, point_axis), P(point_axis))
+    dspec = P(None, point_axis)
+    out_spec = (
+        P(point_axis, None),
+        P(point_axis, None),
+        P(point_axis, None),
+        P(point_axis, None, None),
+        P(point_axis, None, None),
+        P(point_axis, None, None),
+    )
+    return jax.jit(
+        shard_map(
+            partial(_shard_kernel, c=c),
+            mesh=mesh,
+            in_specs=(pspec, dspec),
+            out_specs=out_spec,
+            check_vma=False,  # per-shard results intentionally not replicated
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _ladder_shard_fn(mesh: Mesh, point_axis: str, use_glv: bool):
+    """Jitted shard_map ladder kernel, cached per (mesh, axis, engine) —
+    rebuilding the closure per call would recompile on every invocation."""
+    from curdleproofs_tpu.ops import pallas_g1
+
+    out_spec = (P(point_axis, None), P(point_axis, None), P(point_axis, None))
+    if use_glv:
+
+        def kernel(px, py, pinf, ng, sa, sb):
+            acc = pallas_g1.scalar_mul_glv(APoints(px, py, pinf), sa, ng, sb)
+            r = oscan.tree_reduce_hybrid(acc)
+            return r.x[None], r.y[None], r.z[None]
+
+        in_specs = (
+            P(None, point_axis),
+            P(None, point_axis),
+            P(point_axis),
+            P(point_axis),
+            P(None, point_axis),
+            P(None, point_axis),
+        )
+    else:
+
+        def kernel(px, py, pinf, sc):
+            acc = og.scalar_mul(APoints(px, py, pinf), sc)
+            r = oscan.tree_reduce_hybrid(acc)
+            return r.x[None], r.y[None], r.z[None]
+
+        in_specs = (
+            P(None, point_axis),
+            P(None, point_axis),
+            P(point_axis),
+            P(None, point_axis),
+        )
+    return jax.jit(
+        shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            check_vma=False,
+        )
+    )
 
 
 def msm_sharded_ladder(
@@ -76,9 +147,6 @@ def msm_sharded_ladder(
     points = og.pack_points(list(bases) + [G1.identity()] * (m - n))
     scs = list(scalars) + [Fr(0)] * (m - n)
 
-    pspec = APoints(P(None, point_axis), P(None, point_axis), P(point_axis))
-    out_spec = (P(point_axis, None), P(point_axis, None), P(point_axis, None))
-
     if pallas_g1.enabled():
         from curdleproofs_tpu.ops import glv
         from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
@@ -87,20 +155,7 @@ def msm_sharded_ladder(
 
         sc16 = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
         s1, neg1, s2 = glv.decompose(sc16.astype(np.uint64))
-
-        def kernel(px, py, pinf, ng, sa, sb):
-            acc = pallas_g1.scalar_mul_glv(APoints(px, py, pinf), sa, ng, sb)
-            r = oscan.tree_reduce_hybrid(acc)
-            return r.x[None], r.y[None], r.z[None]
-
-        in_specs = (
-            P(None, point_axis),
-            P(None, point_axis),
-            P(point_axis),
-            P(point_axis),
-            P(None, point_axis),
-            P(None, point_axis),
-        )
+        f = _ladder_shard_fn(mesh, point_axis, True)
         args = (
             points.x,
             points.y,
@@ -110,29 +165,9 @@ def msm_sharded_ladder(
             jnp.asarray(s2),
         )
     else:
-
-        def kernel(px, py, pinf, sc):
-            acc = og.scalar_mul(APoints(px, py, pinf), sc)
-            r = oscan.tree_reduce_hybrid(acc)
-            return r.x[None], r.y[None], r.z[None]
-
-        in_specs = (
-            P(None, point_axis),
-            P(None, point_axis),
-            P(point_axis),
-            P(None, point_axis),
-        )
+        f = _ladder_shard_fn(mesh, point_axis, False)
         args = (points.x, points.y, points.inf, og.pack_scalars(scs))
 
-    f = jax.jit(
-        shard_map(
-            kernel,
-            mesh=mesh,
-            in_specs=in_specs,
-            out_specs=out_spec,
-            check_vma=False,
-        )
-    )
     rx, ry, rz = f(*args)
     # gathered shape is (shards, 24); host combine wants limb-major (24, D)
     partials = og.jpoints_to_host(JPoints(rx.T, ry.T, rz.T))
@@ -175,24 +210,7 @@ def msm_sharded(
         window_batch = max(1, min(W, (1 << 21) // max(local, 1)))
     digits = omsm.extract_digits(scalars_l, c)
 
-    pspec = APoints(P(None, point_axis), P(None, point_axis), P(point_axis))
-    dspec = P(None, point_axis)
-    out_spec = (
-        P(point_axis, None),
-        P(point_axis, None),
-        P(point_axis, None),
-        P(point_axis, None, None),
-        P(point_axis, None, None),
-        P(point_axis, None, None),
-    )
-    kernel = shard_map(
-        partial(_shard_kernel, c=c),
-        mesh=mesh,
-        in_specs=(pspec, dspec),
-        out_specs=out_spec,
-        check_vma=False,  # per-shard results are intentionally not replicated
-    )
-    kernel = jax.jit(kernel)
+    kernel = _pippenger_shard_fn(mesh, point_axis, c)
 
     totals_host: List[G1] = []
     bsums_host: List[List[G1]] = []  # [shard][window]
