@@ -89,3 +89,29 @@ def test_opening_proof_wire():
     rt = TrackerOpeningProof.from_bytes(BufReader(data))
     assert rt.to_bytes() == data
     assert rt == proof  # dataclass equality over points/scalars
+
+
+def test_wire_fuzz_corruption_is_typed(proof_bytes):
+    """Random single-byte corruptions and truncations must either decode
+    (and then fail verification) or raise a typed ProofError — never an
+    unhandled exception type (the Whisk bool wrappers rely on this)."""
+    import random
+
+    from curdleproofs_tpu.utils.errors import ProofError
+
+    rng = random.Random(99)
+    for _ in range(60):
+        bad = bytearray(proof_bytes)
+        mode = rng.randrange(3)
+        if mode == 0:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+            data = bytes(bad)
+        elif mode == 1:
+            data = bytes(bad[: rng.randrange(len(bad))])
+        else:
+            data = bytes(bad) + bytes(rng.randrange(1, 64))
+        try:
+            w = WhiskShuffleProof.from_bytes(BufReader(data), N)
+            assert w.to_bytes() == data[: len(w.to_bytes())]
+        except ProofError:
+            pass  # typed rejection is the contract
