@@ -335,9 +335,13 @@ def _msm_hostsort_impl(
 
 
 def ladder_point_ops(n: int) -> int:
-    """Group operations executed per lane by the GLV dual-table (w=3) ladder
-    MSM: 129 doublings + 86 window adds + 6 table builds + 7 endomorphism
-    maps, plus the tree reduce."""
+    """Group operations executed per lane by the GLV dual-table ladder MSM
+    (doublings + window adds + table builds + endomorphism maps), plus the
+    tree reduce."""
+    from curdleproofs_tpu.ops import pallas_g1
+
+    if pallas_g1.GLV_W == 4:
+        return (132 + 66 + 14 + 15) * n + n
     return (129 + 86 + 6 + 7) * n + n
 
 

@@ -460,9 +460,131 @@ def _build_glv_ladder_kernel(blk: int):
     return call
 
 
+@functools.lru_cache(maxsize=None)
+def _build_glv_ladder_w4_kernel(blk: int):
+    """w=4 variant of the GLV dual-table ladder: 33 iterations of 4 doublings
+    + two conditional 15-entry table adds (132 dbl + 66 adds vs the w=3
+    kernel's 129 + 86). Tables: T1 = {1..15}P via 7 dbl + 7 madd, T2 by the
+    endomorphism (15 field muls). Soundness of the doubling-free table adds:
+    the w=3 lattice argument (see _build_glv_ladder_kernel) carries over with
+    digit bound 15 — acc = a + b*lambda with |a| <= 1.51*lambda + 15 and
+    0 <= b <= lambda; the short-vector enumeration is unchanged since the
+    bounds grow only by 8 against lambda ~ 2^127."""
+    from jax import lax as jlax
+
+    from curdleproofs_tpu.ops import g1 as og
+
+    def kernel(const_ref, px, py, pinf, negr, s1r, s2r, ox, oy, oz):
+        with ma.force_unroll(), ma.const_override(
+            fq_mod=const_ref[:, 0], fq_one_mont=const_ref[:, 1]
+        ):
+            beta = const_ref[:, 2].reshape(24, 1)
+            inf = pinf[:][0] != 0
+            neg = negr[:][0] != 0
+            pxv, pyv = px[:], py[:]
+            py1 = ma.select(neg, ma.neg(FQ_SPEC, pyv), pyv)
+            base1 = og.APoints(pxv, py1, inf)
+
+            # odd/even chain: T[2k] = dbl(T[k]), T[2k+1] = T[2k] + P
+            T1 = [None] * 16
+            T1[1] = og.lift(base1)
+            for k in range(1, 8):
+                T1[2 * k] = og._jdbl_formulas(T1[k])
+                T1[2 * k + 1] = og._jmadd_formulas(
+                    T1[2 * k], base1, handle_doubling=False
+                )
+
+            def endo(t):
+                yy = ma.select(neg, ma.neg(FQ_SPEC, t.y), t.y)
+                return og.JPoints(ma.mont_mul(FQ_SPEC, t.x, beta), yy, t.z)
+
+            T2 = [None] + [endo(t) for t in T1[1:]]
+
+            s1 = s1r[:]
+            s2 = s2r[:]
+            zero = jnp.zeros_like(pxv)
+            acc0 = (zero, zero, zero)
+
+            def digit(s, bitpos):
+                li = bitpos // 16
+                off = (bitpos % 16).astype(jnp.uint32)
+                lo = jnp.zeros_like(s[0])
+                hi = jnp.zeros_like(s[0])
+                for idx in range(9):
+                    lo = jnp.where(li == idx, s[idx], lo)
+                    hi = jnp.where(li + 1 == idx, s[idx], hi)
+                combined = lo | (hi << jnp.uint32(16))
+                return (combined >> off) & jnp.uint32(0xF)
+
+            def tsel(T, d):
+                tx, ty, tz = T[1].x, T[1].y, T[1].z
+                for k in range(2, 16):
+                    sel = d == k
+                    tx = jnp.where(sel, T[k].x, tx)
+                    ty = jnp.where(sel, T[k].y, ty)
+                    tz = jnp.where(sel, T[k].z, tz)
+                return og.JPoints(tx, ty, tz)
+
+            def body(i, acc3):
+                acc = og.JPoints(*acc3)
+                for _ in range(4):
+                    acc = og._jdbl_formulas(acc)
+                bitpos = 128 - 4 * i
+                d1 = digit(s1, bitpos)
+                d2 = digit(s2, bitpos)
+                c1p = og._jadd_formulas(acc, tsel(T1, d1), handle_doubling=False)
+                acc = og.jselect(d1 == 0, acc, c1p)
+                c2p = og._jadd_formulas(acc, tsel(T2, d2), handle_doubling=False)
+                acc = og.jselect(d2 == 0, acc, c2p)
+                return (acc.x, acc.y, acc.z)
+
+            x, y, z = jlax.fori_loop(0, 33, body, acc0)
+        ox[:] = x
+        oy[:] = y
+        oz[:] = z
+
+    def rows_spec(r):
+        if _VMEM is None:
+            return pl.BlockSpec((r, blk), lambda i: (0, i))
+        return pl.BlockSpec((r, blk), lambda i: (0, i), memory_space=_VMEM)
+
+    def call(px, py, pinf_row, neg_row, s1, s2):
+        m = px.shape[-1]
+        grid = (m // blk,)
+        out_shape = [jax.ShapeDtypeStruct((24, m), jnp.uint32)] * 3
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                _const_spec(),
+                _spec(blk),
+                _spec(blk),
+                _row_spec(blk),
+                _row_spec(blk),
+                rows_spec(9),
+                rows_spec(9),
+            ],
+            out_specs=[_spec(blk)] * 3,
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(_consts_arr(), px, py, pinf_row, neg_row, s1, s2)
+
+    return call
+
+
+# GLV ladder window width. w=4 (15-entry tables) executes ~13% fewer
+# Montgomery muls but needs ~2x the VMEM, forcing 128-lane tiles — measured
+# net 3% SLOWER than w=3 at 256-lane tiles on v5e (1.065 s vs 1.034 s per
+# n=2^16 MSM), so w=3 stays the default; kept as a tunable for other parts.
+GLV_W = int(os.environ.get("CURDLEPROOFS_GLV_W", "3"))
+
+
 def _pick_blk_glv(n: int) -> int:
-    """The dual tables (14 Jacobian points) push the GLV kernel's VMEM
-    working set to ~10 MB at 256 lanes; 512 lanes OOMs the 16 MB budget."""
+    """The dual tables (14 Jacobian points at w=3, 30 at w=4) push the GLV
+    kernel's VMEM working set to ~10-12 MB at 256/128 lanes; bigger tiles
+    OOM the 16 MB budget."""
+    if GLV_W == 4:
+        return 128
     return 256 if n >= 2048 else 128
 
 
@@ -487,7 +609,8 @@ def scalar_mul_glv(points, s1, neg1, s2):
     neg_flat = pad_rows(neg1.astype(jnp.uint32), 1)
     s1f = pad_rows(s1, 9)
     s2f = pad_rows(s2, 9)
-    outs = _build_glv_ladder_kernel(blk)(flats[0], flats[1], inf_flat, neg_flat, s1f, s2f)
+    build = _build_glv_ladder_w4_kernel if GLV_W == 4 else _build_glv_ladder_kernel
+    outs = build(blk)(flats[0], flats[1], inf_flat, neg_flat, s1f, s2f)
     x, y, z = _unflatten(outs, shape, n)
     return JPoints(x, y, z)
 
