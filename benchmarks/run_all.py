@@ -217,7 +217,7 @@ def main():
     report["config3_ell124_whisk"] = bench_shuffle(124, 4, seed=2)
     print("config3", json.dumps(report["config3_ell124_whisk"]))
 
-    k = 4 if args.quick else 16
+    k = 4 if args.quick else 64
     report["config4_batch_verify"] = bench_batch_verify(60, 4, k, seed=3)
     print("config4", json.dumps(report["config4_batch_verify"]))
 

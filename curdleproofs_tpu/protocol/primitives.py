@@ -211,6 +211,13 @@ class MSMAccumulator:
         self._rhos.append(rho)
         self._terms.append((pv, sv * rho))
 
+    def absorb(self, other: "MSMAccumulator") -> None:
+        """Fold another accumulator's pending checks into this one (used to
+        merge per-thread accumulators from parallel batch verification)."""
+        self._commitments.extend(other._commitments)
+        self._rhos.extend(other._rhos)
+        self._terms.extend(other._terms)
+
     def verify(self) -> None:
         lhs = PointVec(self._commitments).msm(ScalarVec.of(self._rhos))
 

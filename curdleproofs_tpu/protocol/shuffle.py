@@ -249,12 +249,19 @@ def verify_shuffle_proofs(
     crs: CurdleproofsCrs,
     instances: List[Tuple[CurdleProofsProof, "VerifierInput"]],
     rng: Optional[ProofRng] = None,
+    workers: Optional[int] = None,
 ) -> None:
-    """Batched verification: N proofs share ONE accumulator, collapsing all
-    their equations into a single large device MSM (BASELINE config 4).
-    Soundness holds via the per-check random linear combination."""
-    acc = MSMAccumulator(rng=rng)
-    for proof, vi in instances:
+    """Batched verification: N proofs share ONE deferred MSM, and the
+    per-proof transcript/accumulation work runs across a thread pool (the
+    native backend releases the GIL, so host cores parallelize it).
+    Soundness holds via the per-check random linear combination.
+    Raises VerificationError if any proof fails (BASELINE config 4)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check_one(pair):
+        proof, vi = pair
+        local = MSMAccumulator(rng=rng)
         proof.verify(
             crs,
             vi.vec_R,
@@ -262,8 +269,20 @@ def verify_shuffle_proofs(
             vi.vec_T,
             vi.vec_U,
             vi.M,
-            msm_accumulator=acc,
+            msm_accumulator=local,
         )
+        return local
+
+    workers = workers or min(8, os.cpu_count() or 1, max(1, len(instances)))
+    if workers > 1 and len(instances) > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            locals_ = list(pool.map(check_one, instances))
+    else:
+        locals_ = [check_one(pair) for pair in instances]
+
+    acc = MSMAccumulator(rng=rng)
+    for local in locals_:
+        acc.absorb(local)
     acc.verify()
 
 
