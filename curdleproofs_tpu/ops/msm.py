@@ -334,6 +334,153 @@ def _msm_hostsort_impl(
     return _combine_windows_host(total_host, bsums_host[:W], c, W)
 
 
+# ---------------------------------------------------------------------------
+# Streaming host-sorted Pippenger ("stream"): hostsort with the prefix scan,
+# boundary extraction and (optionally) bucket reduction restructured around
+# the ops.stream_scan column-major streaming kernel — n work-optimal MIXED
+# adds per window in ONE Pallas dispatch instead of ~2.2n full adds across
+# ~35 dispatches, and only the B-1 bucket-boundary prefixes are ever
+# stitched together (local + lane-offset add), never a full prefix vector.
+# ---------------------------------------------------------------------------
+
+
+def stream_point_ops(n: int, c: int) -> int:
+    """Group adds executed per MSM by the streaming host-sorted Pippenger:
+    n mixed adds + ~2 log2(L)*L lane-offset adds + 2(B-1) boundary/reduce
+    adds per window, + the 255-op host window combine."""
+    W = -(-FR_BITS // c)
+    from curdleproofs_tpu.ops.stream_scan import pick_lanes
+
+    L = pick_lanes(n)
+    return W * (n + 2 * L.bit_length() * L + 2 * (1 << c)) + 255
+
+
+@partial(jax.jit, static_argnames=("T", "L"))
+def _stream_window_partials(packed, idx_cm, bidx, lidx, T: int, L: int):
+    """Device pipeline for one window chunk (single dispatch graph).
+
+    packed (49, n) u32 point records; idx_cm (wb, n) i32 column-major
+    digit-sort gather order; bidx (wb, B-1) i32 within-window flat positions
+    (t*L + l) of bucket-boundary prefixes, -1 for empty; lidx (wb, B-1) i32
+    within-window lane-offset positions (lane(e) - 1), -1 when lane(e) == 0
+    or the boundary is empty. Out-of-range gathers return zeros, and an
+    all-zero Jacobian triple has z == 0 == infinity, so no masking is needed
+    anywhere. Returns (total JPoints (24,), bucket-weighted boundary sums
+    (24, wb))."""
+    from curdleproofs_tpu.ops import gather as ogather
+    from curdleproofs_tpu.ops import stream_scan as ostream
+
+    wb = idx_cm.shape[0]
+    g = ogather.gather_u32_shared(packed, idx_cm)  # (49, wb, n)
+    prefix, totals = ostream.scan_records(g.reshape(49, wb * T * L), wb, T, L)
+    lane_scan = oscan._hs_scan(
+        JPoints(totals[:24], totals[24:48], totals[48:])
+    )  # (24, wb, L) inclusive over lanes
+    total = JPoints(
+        lane_scan.x[:, 0, L - 1], lane_scan.y[:, 0, L - 1], lane_scan.z[:, 0, L - 1]
+    )
+    lane_tab = jnp.concatenate([lane_scan.x, lane_scan.y, lane_scan.z], axis=0)
+    bl = ogather.gather_u32(prefix, bidx)  # (72, wb, B-1) local prefixes
+    lo = ogather.gather_u32(lane_tab, lidx)  # (72, wb, B-1) lane offsets
+    boundary = og.jadd(
+        JPoints(bl[:24], bl[24:48], bl[48:]), JPoints(lo[:24], lo[24:48], lo[48:])
+    )
+    bsums = oscan.tree_reduce_hybrid(boundary)  # (24, wb)
+    return total, bsums
+
+
+def msm_pippenger_stream(
+    points: APoints,
+    scalars: np.ndarray,
+    c: Optional[int] = None,
+    window_batch: Optional[int] = None,
+) -> G1:
+    """Full MSM via the streaming host-sorted Pippenger. points (24, n)
+    affine (device or host), scalars (16, n) canonical limbs as HOST numpy
+    (the sort runs on host) -> host G1."""
+    from curdleproofs_tpu.utils.profiling import timed
+
+    scalars_np = np.asarray(scalars).astype(np.uint32)
+    n_in = points.x.shape[-1]
+    c = c or pick_window(max(n_in, 32))
+    with timed("msm.stream", items=n_in, point_ops=stream_point_ops(n_in, c)):
+        return _msm_stream_impl(points, scalars_np, c, window_batch)
+
+
+def _msm_stream_impl(
+    points: APoints,
+    scalars_np: np.ndarray,
+    c: int,
+    window_batch: Optional[int] = None,
+) -> G1:
+    from curdleproofs_tpu.ops.stream_scan import pick_lanes
+
+    n_in = points.x.shape[-1]
+    m = 128  # Mosaic lane-tile floor; production sizes use 512-lane tiles
+    while m < n_in:
+        m *= 2
+    if m != n_in:  # pad with identity/zero lanes to a power of two
+        zc = jnp.zeros((24, m - n_in), dtype=jnp.uint32)
+        points = APoints(
+            jnp.concatenate([points.x, zc], axis=-1),
+            jnp.concatenate([points.y, zc], axis=-1),
+            jnp.concatenate(
+                [points.inf, jnp.ones(m - n_in, dtype=bool)], axis=-1
+            ),
+        )
+        scalars_np = np.concatenate(
+            [scalars_np, np.zeros((16, m - n_in), np.uint32)], axis=-1
+        )
+    n = m
+    W = -(-FR_BITS // c)
+    B = 1 << c
+    L = pick_lanes(n)
+    T = n // L
+    if window_batch is None:
+        # gathered records + prefix table live per chunk: ~500 u32 rows/lane
+        window_batch = max(1, min(W, (1 << 22) // max(n, 1)))
+
+    # --- host: digits, per-window argsort, boundary/lane index prep -------
+    digits = host_digits(scalars_np, c)  # (W, n) uint16
+    order = np.argsort(digits, axis=-1, kind="stable").astype(np.int32)
+    sd = np.take_along_axis(digits, order.astype(np.intp), axis=-1)
+    ts = np.arange(B - 1, dtype=np.uint16)
+    e = np.empty((W, B - 1), np.int64)
+    for w in range(W):
+        e[w] = np.searchsorted(sd[w], ts, side="right") - 1
+    # column-major relabel: device flat position t*L + l holds sorted rank
+    # l*T + t, so lane l's VMEM accumulator walks ranks [l*T, (l+1)*T)
+    order_cm = np.ascontiguousarray(
+        order.reshape(W, L, T).transpose(0, 2, 1)
+    ).reshape(W, n)
+    t_e, l_e = e % T, e // T
+    bidx = np.where(e >= 0, t_e * L + l_e, -1).astype(np.int32)
+    lidx = np.where((e >= 0) & (l_e > 0), l_e - 1, -1).astype(np.int32)
+
+    packed = jnp.concatenate(
+        [points.x, points.y, points.inf[None].astype(jnp.uint32)], axis=0
+    )
+
+    total_host: Optional[G1] = None
+    bsums_host: List[G1] = []
+    for w0 in range(0, W, window_batch):
+        sl = slice(w0, w0 + window_batch)
+        ordc, bc, lc = order_cm[sl], bidx[sl], lidx[sl]
+        wb = ordc.shape[0]
+        if wb != window_batch:  # keep a single compiled shape per (n, c)
+            pad = window_batch - wb
+            ordc = np.concatenate([ordc, np.zeros((pad, n), np.int32)])
+            bc = np.concatenate([bc, np.full((pad, B - 1), -1, np.int32)])
+            lc = np.concatenate([lc, np.full((pad, B - 1), -1, np.int32)])
+        total, bsums = _stream_window_partials(
+            packed, jnp.asarray(ordc), jnp.asarray(bc), jnp.asarray(lc), T, L
+        )
+        if total_host is None:
+            total_host = og.jpoints_to_host(total)[0]
+        bsums_host.extend(og.jpoints_to_host(bsums))
+    return _combine_windows_host(total_host, bsums_host[:W], c, W)
+
+
 def ladder_point_ops(n: int) -> int:
     """Group operations executed per lane by the GLV dual-table ladder MSM
     (doublings + window adds + table builds + endomorphism maps), plus the
@@ -443,6 +590,14 @@ def msm(
         scs_np = np.asarray(ints_to_limbs(sp, 16), dtype=np.uint32)
         return msm_ladder(pts, scs_np)
     pts = og.pack_points(list(bases))
+    if method in ("stream", "hostsort"):
+        from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+        scs_np = np.asarray(
+            ints_to_limbs([s.v for s in scalars], 16), dtype=np.uint32
+        )
+        fn = msm_pippenger_stream if method == "stream" else msm_pippenger_hostsort
+        return fn(pts, scs_np, c=c)
     scs = og.pack_scalars(list(scalars))
     if method == "ladder":
         pts, scs = _pad_pow2_inputs(pts, scs)

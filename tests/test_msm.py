@@ -131,3 +131,59 @@ def test_msm_hostsort_matches_oracle():
     sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
     got = omsm.msm_pippenger_hostsort(og.pack_points(pts), sc_np, c=5)
     assert got == msm_host(pts, scs)
+
+
+def test_msm_stream_matches_oracle():
+    import numpy as np
+
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+    # non-power-of-two; exercises padding, zero scalars, infinity points,
+    # duplicate points (madd doubling case inside the streaming scan), and
+    # window chunking (window_batch < W)
+    n = 100
+    pts = rand_points(n - 4) + [G1.identity(), G1()] + [G1() * Fr(3)] * 2
+    scs = rand_scalars(n - 3) + [Fr(0), Fr(0), Fr(5)]
+    sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
+    want = msm_host(pts, scs)
+    got = omsm.msm_pippenger_stream(
+        og.pack_points(pts), sc_np, c=13, window_batch=11
+    )
+    assert got == want
+
+
+def test_msm_stream_duplicate_runs():
+    """Every point identical: the streaming scan's running prefix hits the
+    madd doubling branch at (almost) every step."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+    n = 16
+    p = G1() * Fr(11)
+    pts = [p] * n
+    scs = [Fr(1)] * n
+    sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
+    got = omsm.msm_pippenger_stream(og.pack_points(pts), sc_np, c=4)
+    assert got == msm_host(pts, scs)
+
+
+@pytest.mark.slow
+def test_stream_scan_pallas_interpret(monkeypatch):
+    """Pallas streaming-scan kernel vs its XLA twin (interpreter mode)."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops import pallas_g1 as pg
+    from curdleproofs_tpu.ops import stream_scan as ostream
+
+    monkeypatch.setattr(pg, "_FORCE", "1")
+    W, T, L = 1, 2, 128
+    pts = rand_points(W * T * L - 1) + [G1.identity()]
+    ap = og.pack_points(pts)
+    rec = jnp.concatenate(
+        [ap.x, ap.y, ap.inf[None].astype(jnp.uint32)], axis=0
+    )
+    got_p, got_t = ostream.scan_records_pallas(rec, W, T, L)
+    want_p, want_t = ostream._scan_records_xla(rec, W, T, L)
+    assert (np.asarray(got_p) == np.asarray(want_p)).all()
+    assert (np.asarray(got_t) == np.asarray(want_t)).all()
