@@ -1,0 +1,255 @@
+/* Beneš/Hall 3-stage permutation routing for the MXU one-hot gather.
+ *
+ * Role in the framework: the direct one-hot gather (ops/gather.py) that
+ * feeds the host-sorted Pippenger MSM costs 4R*n*n bf16 MACs per window —
+ * quadratic in n and the dominant cost at n >= 2^16.  Writing the n
+ * positions as an (r x c) matrix (n = r*c), Hall's theorem gives every
+ * permutation a 3-stage factorization
+ *
+ *     within-rows  o  within-columns  o  within-rows
+ *
+ * so the gather becomes three batched one-hot gathers with contraction
+ * widths c, r, c — 4R*n*(2c + r) MACs, ~85x fewer at n = 2^16 (r = 512,
+ * c = 128) and ~340x at 2^20.
+ *
+ * The routing itself: build the bipartite multigraph with an edge
+ * (source row -> destination row) per element; it is c-regular, so it
+ * splits into c perfect matchings (Koenig).  color(e) = matching index,
+ * computed by recursive Euler splitting: walk Euler circuits assigning
+ * alternate edges to the two halves (even circuits, since the graph is
+ * bipartite), halving the regular degree each level — O(n log c) total.
+ * Element e then routes (row_s, col_s) -> (row_s, color) -> (row_d, color)
+ * -> (row_d, col_d), each hop inside one row/column.
+ *
+ * Exposed as decompose(r, c, src) -> (idx1, idx2, idx3) int32 gather
+ * tables; see ops/route.py for the exact gather semantics and a pure-
+ * Python twin used for tests and as fallback.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+typedef struct {
+    int32_t r, c, n, cshift;
+    /* per element (indexed by dest position d) */
+    int32_t *row_s, *col_s; /* src / c, src % c */
+    uint8_t *bits;          /* per-level Euler split bit */
+    int32_t *grp, *tmp;     /* group index buffers */
+    int32_t *color;
+    /* adjacency workspace (sized for the largest group: n edges) */
+    int32_t *head;  /* 2r nodes */
+    int32_t *nxt;   /* 2n half-edges */
+    int32_t *einfo; /* half-edge -> (pos-in-grp << 1 | side); the walk
+                       reaches the other endpoint without re-reading the
+                       edge tables (pointer-chase friendly) */
+    int32_t *other; /* half-edge -> opposite node */
+    uint8_t *used;  /* per edge in group */
+} ws;
+
+/* Assign alternating 0/1 bits along Euler circuits of the bipartite
+ * multigraph formed by the m edges grp[0..m): left node row_s[e], right
+ * node r + row_d(e) (row_d(e) = e >> cshift since e is the dest index). */
+static void euler_halve(ws *w, const int32_t *grp, int32_t m) {
+    const int32_t r = w->r, cshift = w->cshift;
+    int32_t nn = 2 * r;
+    for (int32_t i = 0; i < nn; i++) w->head[i] = -1;
+    for (int32_t i = 0; i < m; i++) {
+        int32_t e = grp[i];
+        int32_t u = w->row_s[e];
+        int32_t v = r + (e >> cshift);
+        w->nxt[2 * i] = w->head[u];
+        w->head[u] = 2 * i;
+        w->einfo[2 * i] = i;
+        w->other[2 * i] = v;
+        w->nxt[2 * i + 1] = w->head[v];
+        w->head[v] = 2 * i + 1;
+        w->einfo[2 * i + 1] = i;
+        w->other[2 * i + 1] = u;
+        w->used[i] = 0;
+    }
+    for (int32_t i0 = 0; i0 < m; i0++) {
+        if (w->used[i0]) continue;
+        int32_t node = w->row_s[grp[i0]];
+        int32_t parity = 0;
+        for (;;) {
+            int32_t h = w->head[node];
+            while (h != -1 && w->used[w->einfo[h]]) h = w->nxt[h];
+            w->head[node] = h; /* skip-used compression */
+            if (h == -1) break; /* circuit closed (only possible at start) */
+            int32_t i = w->einfo[h];
+            w->used[i] = 1;
+            w->bits[i] = (uint8_t)parity;
+            parity ^= 1;
+            node = w->other[h];
+        }
+    }
+}
+
+/* Color all n edges with c colors, distinct within every source row and
+ * every dest row.  Iterative stack over (offset, m, k, colorbase). */
+static void color_edges(ws *w) {
+    const int32_t n = w->n, c = w->c;
+    for (int32_t e = 0; e < n; e++) w->grp[e] = e;
+    if (c == 1) {
+        memset(w->color, 0, (size_t)n * sizeof(int32_t));
+        return;
+    }
+    typedef struct {
+        int32_t off, m, k, base;
+    } frame;
+    /* at most 2*c-1 live frames on a DFS stack of depth log2(c)+1; be lazy
+     * and allow 64 (c <= 2^31 anyway) since we push 2 per pop */
+    frame stack[128];
+    int sp = 0;
+    stack[sp++] = (frame){0, n, c, 0};
+    while (sp > 0) {
+        frame f = stack[--sp];
+        if (f.k == 1) {
+            for (int32_t i = 0; i < f.m; i++) w->color[w->grp[f.off + i]] = f.base;
+            continue;
+        }
+        euler_halve(w, w->grp + f.off, f.m);
+        /* stable partition by bit into tmp, then copy back */
+        int32_t lo = 0, hi = 0;
+        for (int32_t i = 0; i < f.m; i++)
+            if (w->bits[i] == 0) w->tmp[lo++] = w->grp[f.off + i];
+        hi = lo;
+        for (int32_t i = 0; i < f.m; i++)
+            if (w->bits[i] != 0) w->tmp[hi++] = w->grp[f.off + i];
+        memcpy(w->grp + f.off, w->tmp, (size_t)f.m * sizeof(int32_t));
+        int32_t k2 = f.k / 2;
+        stack[sp++] = (frame){f.off, lo, k2, f.base};
+        stack[sp++] = (frame){f.off + lo, f.m - lo, k2, f.base + k2};
+    }
+}
+
+/* One window: src[d] = source position of the element destined to d.
+ * Fills idx1 (r*c), idx2 (c*r), idx3 (r*c):
+ *   stage1[a][j]  = in  [a*c + idx1[a*c + j]]          (within source rows)
+ *   stage2[j][a2] = st1 [idx2[j*r + a2]*c ... col j]   (within columns)
+ *   stage3[a2][b] = st2 [a2 ... col idx3[a2*c + b]]    (within dest rows)
+ * so that stage3[a2][b] = in[src[a2*c + b]].  All idx values are local
+ * (< c, < r, < c). */
+static void decompose_one(ws *w, const int32_t *src, int32_t *idx1,
+                          int32_t *idx2, int32_t *idx3) {
+    const int32_t r = w->r, c = w->c, n = w->n, cshift = w->cshift;
+    for (int32_t d = 0; d < n; d++) {
+        int32_t s = src[d];
+        w->row_s[d] = s >> cshift;
+        w->col_s[d] = s & (c - 1);
+    }
+    color_edges(w);
+    for (int32_t d = 0; d < n; d++) {
+        int32_t col = w->color[d];
+        int32_t a = w->row_s[d], a2 = d >> cshift, b = d & (c - 1);
+        idx1[(size_t)a * c + col] = w->col_s[d];
+        idx2[(size_t)col * r + a2] = a;
+        idx3[(size_t)a2 * c + b] = col;
+    }
+}
+
+static int is_pow2(int32_t v) { return v > 0 && (v & (v - 1)) == 0; }
+
+static PyObject *py_decompose(PyObject *self, PyObject *args) {
+    (void)self;
+    int r, c;
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "iiy*", &r, &c, &buf)) return NULL;
+    int32_t n = (int32_t)((int64_t)r * c);
+    if (!is_pow2(c) || r <= 0 || (int64_t)r * c != n) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "need r > 0 and power-of-two c");
+        return NULL;
+    }
+    if (buf.len % ((Py_ssize_t)n * 4) != 0 || buf.len == 0) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "src must be W*r*c int32 values");
+        return NULL;
+    }
+    Py_ssize_t W = buf.len / ((Py_ssize_t)n * 4);
+    PyObject *o1 = PyBytes_FromStringAndSize(NULL, W * (Py_ssize_t)n * 4);
+    PyObject *o2 = PyBytes_FromStringAndSize(NULL, W * (Py_ssize_t)n * 4);
+    PyObject *o3 = PyBytes_FromStringAndSize(NULL, W * (Py_ssize_t)n * 4);
+    if (!o1 || !o2 || !o3) {
+        Py_XDECREF(o1);
+        Py_XDECREF(o2);
+        Py_XDECREF(o3);
+        PyBuffer_Release(&buf);
+        return NULL;
+    }
+    ws w = {0};
+    w.r = r;
+    w.c = c;
+    w.n = n;
+    {
+        int32_t cc = c;
+        while (cc > 1) {
+            w.cshift++;
+            cc >>= 1;
+        }
+    }
+    w.row_s = malloc((size_t)n * sizeof(int32_t));
+    w.col_s = malloc((size_t)n * sizeof(int32_t));
+    w.bits = malloc((size_t)n);
+    w.grp = malloc((size_t)n * sizeof(int32_t));
+    w.tmp = malloc((size_t)n * sizeof(int32_t));
+    w.color = malloc((size_t)n * sizeof(int32_t));
+    w.head = malloc((size_t)(2 * r) * sizeof(int32_t));
+    w.nxt = malloc((size_t)(2 * n) * sizeof(int32_t));
+    w.einfo = malloc((size_t)(2 * n) * sizeof(int32_t));
+    w.other = malloc((size_t)(2 * n) * sizeof(int32_t));
+    w.used = malloc((size_t)n);
+    int oom = !w.row_s || !w.col_s || !w.bits || !w.grp || !w.tmp ||
+              !w.color || !w.head || !w.nxt || !w.einfo || !w.other || !w.used;
+    if (!oom) {
+        const int32_t *src = (const int32_t *)buf.buf;
+        int32_t *i1 = (int32_t *)PyBytes_AS_STRING(o1);
+        int32_t *i2 = (int32_t *)PyBytes_AS_STRING(o2);
+        int32_t *i3 = (int32_t *)PyBytes_AS_STRING(o3);
+        Py_BEGIN_ALLOW_THREADS for (Py_ssize_t wdw = 0; wdw < W; wdw++) {
+            decompose_one(&w, src + wdw * n, i1 + wdw * n, i2 + wdw * n,
+                          i3 + wdw * n);
+        }
+        Py_END_ALLOW_THREADS
+    }
+    free(w.row_s);
+    free(w.col_s);
+    free(w.bits);
+    free(w.grp);
+    free(w.tmp);
+    free(w.color);
+    free(w.head);
+    free(w.nxt);
+    free(w.einfo);
+    free(w.other);
+    free(w.used);
+    PyBuffer_Release(&buf);
+    if (oom) {
+        Py_DECREF(o1);
+        Py_DECREF(o2);
+        Py_DECREF(o3);
+        return PyErr_NoMemory();
+    }
+    PyObject *res = PyTuple_Pack(3, o1, o2, o3);
+    Py_DECREF(o1);
+    Py_DECREF(o2);
+    Py_DECREF(o3);
+    return res;
+}
+
+static PyMethodDef methods[] = {
+    {"decompose", py_decompose, METH_VARARGS,
+     "decompose(r, c, src_int32_bytes) -> (idx1, idx2, idx3) bytes.\n"
+     "3-stage rows/columns/rows routing of W permutations of r*c elements."},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef mod = {
+    PyModuleDef_HEAD_INIT, "_route_native",
+    "Benes/Hall 3-stage permutation routing (Euler-split coloring).", -1,
+    methods, NULL, NULL, NULL, NULL,
+};
+
+PyMODINIT_FUNC PyInit__route_native(void) { return PyModule_Create(&mod); }

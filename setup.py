@@ -25,5 +25,10 @@ setup(
             sources=["csrc/g1.c"],
             extra_compile_args=["-O3", "-march=native", "-funroll-loops"],
         ),
+        Extension(
+            "curdleproofs_tpu._route_native",
+            sources=["csrc/route.c"],
+            extra_compile_args=["-O3", "-march=native"],
+        ),
     ],
 )
