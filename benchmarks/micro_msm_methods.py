@@ -53,6 +53,10 @@ def main():
                 return omsm.msm_ladder(points, sv)
             if method == "hostsort":
                 return omsm.msm_pippenger_hostsort(points, sv_np, c=c)
+            if method == "stream":
+                return omsm.msm_pippenger_stream(points, sv_np, c=c, routed=False)
+            if method == "stream_routed":
+                return omsm.msm_pippenger_stream(points, sv_np, c=c, routed=True)
             return omsm.msm_pippenger(points, sv, c=c)
 
         t0 = time.time()

@@ -245,3 +245,121 @@ def gather_u32_xla(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     hit = (idx >= 0) & (idx < N)
     g = jnp.take_along_axis(table, safe[None, :, :], axis=-1)
     return jnp.where(hit[None, :, :], g, jnp.zeros_like(g))
+
+
+# ---------------------------------------------------------------------------
+# Routed gather: 3-stage Beneš/Hall factorization of a permutation gather.
+#
+# The direct one-hot gather above costs 4R*n*n MACs per permutation —
+# quadratic in n, and the dominant cost of the host-sorted Pippenger at
+# n >= 2^16. ops.route factors each window's permutation into within-rows ∘
+# within-columns ∘ within-rows local gathers over an (r x c) view of the
+# positions, cutting the MAC count to 4R*n*(2c + r) (~85x at 2^16, ~340x at
+# 2^20). The device half below is one generic kernel: a row-local batched
+# one-hot gather where every group has its own small table.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _build_rowwise(R: int, G: int, K: int, M: int, GB: int, BM: int):
+    """Row-local batched one-hot gather.
+
+    table (G, R, K) u32, idx (G, 1, M) i32 -> out (G, R, M) u32 with
+    out[g, :, m] = table[g, :, idx[g, 0, m]] (out-of-range -> 0).
+
+    The contraction width K fits one block (K <= 512 always: it is r or c of
+    the routing), so there is no accumulator scratch; each grid step handles
+    GB groups with an unrolled loop of (4R, K) @ (K, BM) exact-bf16 dots.
+    """
+
+    def kernel(tab_ref, idx_ref, out_ref):
+        for g in range(GB):
+            t = tab_ref[g]  # (R, K)
+            planes = [
+                (t & jnp.uint32(0xFF)),
+                ((t >> jnp.uint32(8)) & jnp.uint32(0xFF)),
+                ((t >> jnp.uint32(16)) & jnp.uint32(0xFF)),
+                ((t >> jnp.uint32(24)) & jnp.uint32(0xFF)),
+            ]
+            a = (
+                jnp.concatenate(planes, axis=0)
+                .astype(jnp.int32)
+                .astype(jnp.float32)
+                .astype(jnp.bfloat16)
+            )  # (4R, K)
+            rows = lax.broadcasted_iota(jnp.int32, (K, BM), 0)
+            oh = (
+                (rows == idx_ref[g].reshape(1, BM))
+                .astype(jnp.int32)
+                .astype(jnp.float32)
+                .astype(jnp.bfloat16)
+            )  # (K, BM)
+            acc = jnp.dot(a, oh, preferred_element_type=jnp.float32)
+            p = acc.astype(jnp.int32).astype(jnp.uint32).reshape(4, R, BM)
+            out_ref[g] = (
+                p[0] | (p[1] << jnp.uint32(8)) | (p[2] << jnp.uint32(16))
+                | (p[3] << jnp.uint32(24))
+            )
+
+    grid = (G // GB, M // BM)
+
+    def call(table, idx):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                _vspec((GB, R, K), lambda g, j: (g, 0, 0)),
+                _vspec((GB, 1, BM), lambda g, j: (g, 0, j)),
+            ],
+            out_specs=_vspec((GB, R, BM), lambda g, j: (g, 0, j)),
+            out_shape=jax.ShapeDtypeStruct((G, R, M), jnp.uint32),
+            interpret=_interpret(),
+        )(table, idx)
+
+    return call
+
+
+def rowwise_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched row-local gather: table (G, R, K) u32, idx (G, M) i32 ->
+    (G, R, M) u32, out[g, :, m] = table[g, :, idx[g, m]] (out-of-range -> 0).
+    """
+    G, R, K = table.shape
+    G2, M = idx.shape
+    assert G2 == G
+    # Per-step working set: GB tables + GB output tiles; target ~2K lanes of
+    # contraction per step so small-K stages amortize grid overhead.
+    GB = max(1, min(G, 2048 // K))
+    while G % GB:
+        GB -= 1
+    BM = M if M <= 2048 else 2048
+    while M % BM:
+        BM -= 128 if BM > 128 else 1
+    return _build_rowwise(R, G, K, M, GB, BM)(table, idx[:, None, :])
+
+
+def routed_gather(
+    packed: jnp.ndarray, i1: jnp.ndarray, i2: jnp.ndarray, i3: jnp.ndarray
+) -> jnp.ndarray:
+    """Permutation gather of a shared table via 3-stage routing tables.
+
+    packed (R, n) u32; i1 (W, r, c), i2 (W, c, r), i3 (W, r, c) int32 from
+    ops.route.decompose. Returns (R, W, n) u32 with
+    out[:, w, a2*c + b] = packed[:, src_w[a2*c + b]] for the permutation
+    src_w the tables encode. MAC cost 4R*n*(2c + r) vs the direct gather's
+    4R*n*n.
+    """
+    R, n = packed.shape
+    W, r, c = i1.shape
+    assert r * c == n and i2.shape == (W, c, r) and i3.shape == (W, r, c)
+    # stage 1: r groups SHARED by all windows -> gather all W*c targets of
+    # each source row at once (bigger M per group, no table broadcast)
+    tab1 = packed.reshape(R, r, c).transpose(1, 0, 2)  # (r, R, c)
+    idx1 = i1.transpose(1, 0, 2).reshape(r, W * c)
+    s1 = rowwise_gather(tab1, idx1)  # (r, R, W*c): s1[a, :, (w,j)]
+    # stage 2 table: X2[(w,j), :, a] = s1[a, :, (w,j)]
+    tab2 = s1.reshape(r, R, W, c).transpose(2, 3, 1, 0).reshape(W * c, R, r)
+    s2 = rowwise_gather(tab2, i2.reshape(W * c, r))  # (W*c, R, r)
+    # stage 3 table: X3[(w,a2), :, j] = s2[(w,j), :, a2]
+    tab3 = s2.reshape(W, c, R, r).transpose(0, 3, 2, 1).reshape(W * r, R, c)
+    s3 = rowwise_gather(tab3, i3.reshape(W * r, c))  # (W*r, R, c)
+    return s3.reshape(W, r, R, c).transpose(2, 0, 1, 3).reshape(R, W, n)

@@ -368,10 +368,29 @@ def _stream_window_partials(packed, idx_cm, bidx, lidx, T: int, L: int):
     anywhere. Returns (total JPoints (24,), bucket-weighted boundary sums
     (24, wb))."""
     from curdleproofs_tpu.ops import gather as ogather
+
+    g = ogather.gather_u32_shared(packed, idx_cm)  # (49, wb, n)
+    return _stream_tail(g, bidx, lidx, T, L)
+
+
+@partial(jax.jit, static_argnames=("T", "L"))
+def _stream_window_partials_routed(packed, i1, i2, i3, bidx, lidx, T: int, L: int):
+    """_stream_window_partials with the sorted-order gather replaced by the
+    3-stage routed gather (ops.route + ops.gather.routed_gather): the
+    column-major sort permutation arrives pre-factored as within-row /
+    within-column local index tables, cutting the gather MACs ~(n/(2c+r))x.
+    """
+    from curdleproofs_tpu.ops import gather as ogather
+
+    g = ogather.routed_gather(packed, i1, i2, i3)  # (49, wb, n)
+    return _stream_tail(g, bidx, lidx, T, L)
+
+
+def _stream_tail(g, bidx, lidx, T: int, L: int):
+    from curdleproofs_tpu.ops import gather as ogather
     from curdleproofs_tpu.ops import stream_scan as ostream
 
-    wb = idx_cm.shape[0]
-    g = ogather.gather_u32_shared(packed, idx_cm)  # (49, wb, n)
+    wb = g.shape[1]
     prefix, totals = ostream.scan_records(g.reshape(49, wb * T * L), wb, T, L)
     lane_scan = oscan._hs_scan(
         JPoints(totals[:24], totals[24:48], totals[48:])
@@ -389,11 +408,19 @@ def _stream_window_partials(packed, idx_cm, bidx, lidx, T: int, L: int):
     return total, bsums
 
 
+# Routed (3-stage) sorted-order gather kicks in at this MSM width; below it
+# the direct one-hot gather is cheap enough and the r/c factors would fall
+# under Mosaic's 128-lane tile floor.
+ROUTE_MIN_N = 1 << 14
+ROUTE_MIN_FACTOR = 128
+
+
 def msm_pippenger_stream(
     points: APoints,
     scalars: np.ndarray,
     c: Optional[int] = None,
     window_batch: Optional[int] = None,
+    routed: Optional[bool] = None,
 ) -> G1:
     """Full MSM via the streaming host-sorted Pippenger. points (24, n)
     affine (device or host), scalars (16, n) canonical limbs as HOST numpy
@@ -404,7 +431,7 @@ def msm_pippenger_stream(
     n_in = points.x.shape[-1]
     c = c or pick_window(max(n_in, 32))
     with timed("msm.stream", items=n_in, point_ops=stream_point_ops(n_in, c)):
-        return _msm_stream_impl(points, scalars_np, c, window_batch)
+        return _msm_stream_impl(points, scalars_np, c, window_batch, routed)
 
 
 def _msm_stream_impl(
@@ -412,6 +439,7 @@ def _msm_stream_impl(
     scalars_np: np.ndarray,
     c: int,
     window_batch: Optional[int] = None,
+    routed: Optional[bool] = None,
 ) -> G1:
     from curdleproofs_tpu.ops.stream_scan import pick_lanes
 
@@ -461,6 +489,32 @@ def _msm_stream_impl(
         [points.x, points.y, points.inf[None].astype(jnp.uint32)], axis=0
     )
 
+    if routed is None:
+        routed = n >= ROUTE_MIN_N
+    route_futs = None
+    if routed:
+        # factor every window's sort permutation into 3-stage routing tables
+        # on background threads (the native solver releases the GIL), one
+        # future per window so solves overlap each other AND device work
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from curdleproofs_tpu.ops import route as oroute
+
+        rr, rc = oroute.pick_rc(n, ROUTE_MIN_FACTOR)
+        pool = ThreadPoolExecutor(max_workers=min(8, _os.cpu_count() or 1))
+        ident = np.arange(n, dtype=np.int32)[None]  # pad rows: identity perm
+        route_futs = [
+            pool.submit(
+                oroute.decompose,
+                rr,
+                rc,
+                order_cm[w : w + 1] if w < W else ident,
+            )
+            for w in range(-(-W // window_batch) * window_batch)
+        ]
+        pool.shutdown(wait=False)
+
     total_host: Optional[G1] = None
     bsums_host: List[G1] = []
     for w0 in range(0, W, window_batch):
@@ -469,12 +523,30 @@ def _msm_stream_impl(
         wb = ordc.shape[0]
         if wb != window_batch:  # keep a single compiled shape per (n, c)
             pad = window_batch - wb
-            ordc = np.concatenate([ordc, np.zeros((pad, n), np.int32)])
+            ordc = np.concatenate(
+                [ordc, np.tile(np.arange(n, dtype=np.int32), (pad, 1))]
+            )
             bc = np.concatenate([bc, np.full((pad, B - 1), -1, np.int32)])
             lc = np.concatenate([lc, np.full((pad, B - 1), -1, np.int32)])
-        total, bsums = _stream_window_partials(
-            packed, jnp.asarray(ordc), jnp.asarray(bc), jnp.asarray(lc), T, L
-        )
+        if routed:
+            parts = [f.result() for f in route_futs[w0 : w0 + window_batch]]
+            i1 = np.concatenate([p[0] for p in parts])
+            i2 = np.concatenate([p[1] for p in parts])
+            i3 = np.concatenate([p[2] for p in parts])
+            total, bsums = _stream_window_partials_routed(
+                packed,
+                jnp.asarray(i1),
+                jnp.asarray(i2),
+                jnp.asarray(i3),
+                jnp.asarray(bc),
+                jnp.asarray(lc),
+                T,
+                L,
+            )
+        else:
+            total, bsums = _stream_window_partials(
+                packed, jnp.asarray(ordc), jnp.asarray(bc), jnp.asarray(lc), T, L
+            )
         if total_host is None:
             total_host = og.jpoints_to_host(total)[0]
         bsums_host.extend(og.jpoints_to_host(bsums))

@@ -37,17 +37,18 @@ def native_available() -> bool:
     return _NAT is not None
 
 
-def pick_rc(n: int) -> Tuple[int, int]:
-    """Factor n = r*c minimizing MACs ~ (2c + r), with both factors >= 128
-    so every one-hot tile meets Mosaic's 128-lane block rule. Requires
-    n >= 2^14 (use the direct gather below that)."""
-    if n & (n - 1) or n < (1 << 14):
-        raise ValueError("routed gather needs power-of-two n >= 2^14")
+def pick_rc(n: int, min_factor: int = 128) -> Tuple[int, int]:
+    """Factor n = r*c minimizing MACs ~ (2c + r), with both factors >=
+    min_factor (128 so every one-hot tile meets Mosaic's 128-lane block rule
+    on real TPUs; tests under the interpreter may pass less). Requires
+    n >= min_factor^2 (use the direct gather below that)."""
+    if n & (n - 1) or n < min_factor * min_factor:
+        raise ValueError("routed gather needs power-of-two n >= min_factor^2")
     best = None
-    c = 128
-    while c * 128 <= n:
+    c = min_factor
+    while c * min_factor <= n:
         r = n // c
-        if r >= 128:
+        if r >= min_factor:
             cost = 2 * c + r
             if best is None or cost < best[0]:
                 best = (cost, r, c)

@@ -152,6 +152,58 @@ def test_msm_stream_matches_oracle():
     assert got == want
 
 
+def test_rowwise_and_routed_gather_exact():
+    """Row-local one-hot gather kernel and the 3-stage routed permutation
+    gather (interpret mode) vs numpy."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops import gather as ogather
+    from curdleproofs_tpu.ops import route
+
+    rng = np.random.default_rng(5)
+    G_, R, K, M = 6, 5, 16, 24
+    tab = rng.integers(0, 1 << 32, (G_, R, K), dtype=np.uint32)
+    idx = rng.integers(-2, K, (G_, M)).astype(np.int32)
+    out = np.asarray(ogather.rowwise_gather(jnp.asarray(tab), jnp.asarray(idx)))
+    for g in range(G_):
+        for m in range(M):
+            want = tab[g, :, idx[g, m]] if 0 <= idx[g, m] < K else 0
+            assert (out[g, :, m] == want).all()
+
+    r, c, W = 16, 8, 3
+    n = r * c
+    packed = rng.integers(0, 1 << 32, (49, n), dtype=np.uint32)
+    src = np.stack([rng.permutation(n) for _ in range(W)]).astype(np.int32)
+    i1, i2, i3 = route.decompose_py(r, c, src)
+    got = np.asarray(
+        ogather.routed_gather(
+            jnp.asarray(packed), jnp.asarray(i1), jnp.asarray(i2), jnp.asarray(i3)
+        )
+    )
+    want = np.stack([packed[:, src[w]] for w in range(W)], axis=1)
+    assert np.array_equal(got, want)
+
+
+def test_msm_stream_routed_matches_oracle(monkeypatch):
+    """Full streaming MSM with the 3-stage routed gather forced on, at a
+    small size (thresholds monkeypatched below the production 2^14 floor)."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+    monkeypatch.setattr(omsm, "ROUTE_MIN_N", 256)
+    monkeypatch.setattr(omsm, "ROUTE_MIN_FACTOR", 8)
+    n = 200  # pads to 256; includes zero scalars, infinity, duplicates
+    pts = rand_points(n - 4) + [G1.identity(), G1()] + [G1() * Fr(3)] * 2
+    scs = rand_scalars(n - 3) + [Fr(0), Fr(0), Fr(5)]
+    sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
+    want = msm_host(pts, scs)
+    got = omsm.msm_pippenger_stream(
+        og.pack_points(pts), sc_np, c=9, window_batch=13, routed=True
+    )
+    assert got == want
+
+
 def test_msm_stream_duplicate_runs():
     """Every point identical: the streaming scan's running prefix hits the
     madd doubling branch at (almost) every step."""
