@@ -386,6 +386,71 @@ def _stream_window_partials_routed(packed, i1, i2, i3, bidx, lidx, T: int, L: in
     return _stream_tail(g, bidx, lidx, T, L)
 
 
+@partial(jax.jit, static_argnames=("T", "L", "S"))
+def _stream_window_partials_routed_sel(
+    packed, i1, i2, i3, sel, lidx, T: int, L: int, S: int
+):
+    """Routed-gather streaming pipeline with in-kernel boundary selection:
+    the scan kernel emits only the B-1 bucket-boundary prefixes (host-
+    scheduled into (T, S) slots), never the full (72, wb, n) prefix vector —
+    the dominant HBM write at large n — and the n-wide boundary gather
+    disappears with it. Boundary prefixes are consumed as an unordered sum,
+    so bsums = reduce(selected local prefixes) + reduce(lane offsets)."""
+    from curdleproofs_tpu.ops import gather as ogather
+    from curdleproofs_tpu.ops import stream_scan as ostream
+
+    wb = i1.shape[0]
+    g = ogather.routed_gather(packed, i1, i2, i3)  # (49, wb, n)
+    bsel, totals = ostream.scan_records_sel(
+        g.reshape(49, wb * T * L), sel, wb, T, L, S
+    )
+    lane_scan = oscan._hs_scan(
+        JPoints(totals[:24], totals[24:48], totals[48:])
+    )  # (24, wb, L) inclusive over lanes
+    total = JPoints(
+        lane_scan.x[:, 0, L - 1], lane_scan.y[:, 0, L - 1], lane_scan.z[:, 0, L - 1]
+    )
+    lane_tab = jnp.concatenate([lane_scan.x, lane_scan.y, lane_scan.z], axis=0)
+    lo = ogather.gather_u32(lane_tab, lidx)  # (72, wb, B-1) lane offsets
+    part1 = oscan.tree_reduce_hybrid(
+        JPoints(bsel[:24], bsel[24:48], bsel[48:])
+    )  # (24, wb)
+    part2 = oscan.tree_reduce_hybrid(JPoints(lo[:24], lo[24:48], lo[48:]))
+    bsums = og.jadd(part1, part2)
+    return total, bsums
+
+
+# boundary-selection slot capacity per scan step; mean occupancy is
+# (B-1)/T (~32 at the operating points), so 128 gives 4x headroom. Host
+# falls back to the full-prefix path when any (window, step) overflows
+# (possible only for adversarially concentrated digit distributions).
+SEL_SLOTS = 128
+
+
+def _build_sel(e: np.ndarray, T: int, S: int) -> Optional[np.ndarray]:
+    """Schedule boundary ranks into per-step selection slots.
+
+    e (W, B-1) int64 boundary ranks (-1 = empty bucket, skipped: it
+    contributes the identity). Returns (W*T, S) int32 lane ids (-1 = empty
+    slot) or None if any (window, step) needs more than S slots."""
+    W = e.shape[0]
+    sel = np.full((W * T, S), -1, np.int32)
+    for w in range(W):
+        ev = e[w][e[w] >= 0]
+        if ev.size == 0:
+            continue
+        t_e = (ev % T).astype(np.int64)
+        l_e = (ev // T).astype(np.int32)
+        o = np.argsort(t_e, kind="stable")
+        ts, ls = t_e[o], l_e[o]
+        starts = np.searchsorted(ts, np.arange(T))
+        slot = np.arange(ts.size) - starts[ts]
+        if slot.size and slot.max() >= S:
+            return None
+        sel[w * T + ts, slot] = ls
+    return sel
+
+
 def _stream_tail(g, bidx, lidx, T: int, L: int):
     from curdleproofs_tpu.ops import gather as ogather
     from curdleproofs_tpu.ops import stream_scan as ostream
@@ -464,9 +529,6 @@ def _msm_stream_impl(
     B = 1 << c
     L = pick_lanes(n)
     T = n // L
-    if window_batch is None:
-        # gathered records + prefix table live per chunk: ~500 u32 rows/lane
-        window_batch = max(1, min(W, (1 << 22) // max(n, 1)))
 
     # --- host: digits, per-window argsort, boundary/lane index prep -------
     digits = host_digits(scalars_np, c)  # (W, n) uint16
@@ -485,12 +547,21 @@ def _msm_stream_impl(
     bidx = np.where(e >= 0, t_e * L + l_e, -1).astype(np.int32)
     lidx = np.where((e >= 0) & (l_e > 0), l_e - 1, -1).astype(np.int32)
 
+    if routed is None:
+        routed = n >= ROUTE_MIN_N
+    # in-kernel boundary selection (skips the full prefix write): routed
+    # path only; falls back when a (window, step) cell overflows SEL_SLOTS
+    sel_all = _build_sel(e, T, SEL_SLOTS) if routed else None
+    if window_batch is None:
+        # per-chunk live set: gathered records (+ full prefix table unless
+        # the selection path elides it): ~200 vs ~500 u32 rows per lane
+        cap = (1 << 23) if sel_all is not None else (1 << 22)
+        window_batch = max(1, min(W, cap // max(n, 1)))
+
     packed = jnp.concatenate(
         [points.x, points.y, points.inf[None].astype(jnp.uint32)], axis=0
     )
 
-    if routed is None:
-        routed = n >= ROUTE_MIN_N
     route_futs = None
     if routed:
         # factor every window's sort permutation into 3-stage routing tables
@@ -533,16 +604,41 @@ def _msm_stream_impl(
             i1 = np.concatenate([p[0] for p in parts])
             i2 = np.concatenate([p[1] for p in parts])
             i3 = np.concatenate([p[2] for p in parts])
-            total, bsums = _stream_window_partials_routed(
-                packed,
-                jnp.asarray(i1),
-                jnp.asarray(i2),
-                jnp.asarray(i3),
-                jnp.asarray(bc),
-                jnp.asarray(lc),
-                T,
-                L,
-            )
+            if sel_all is not None:
+                sc_ = sel_all[w0 * T : (w0 + window_batch) * T]
+                if sc_.shape[0] != window_batch * T:
+                    sc_ = np.concatenate(
+                        [
+                            sc_,
+                            np.full(
+                                (window_batch * T - sc_.shape[0], SEL_SLOTS),
+                                -1,
+                                np.int32,
+                            ),
+                        ]
+                    )
+                total, bsums = _stream_window_partials_routed_sel(
+                    packed,
+                    jnp.asarray(i1),
+                    jnp.asarray(i2),
+                    jnp.asarray(i3),
+                    jnp.asarray(sc_),
+                    jnp.asarray(lc),
+                    T,
+                    L,
+                    SEL_SLOTS,
+                )
+            else:
+                total, bsums = _stream_window_partials_routed(
+                    packed,
+                    jnp.asarray(i1),
+                    jnp.asarray(i2),
+                    jnp.asarray(i3),
+                    jnp.asarray(bc),
+                    jnp.asarray(lc),
+                    T,
+                    L,
+                )
         else:
             total, bsums = _stream_window_partials(
                 packed, jnp.asarray(ordc), jnp.asarray(bc), jnp.asarray(lc), T, L

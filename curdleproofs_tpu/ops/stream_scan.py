@@ -112,9 +112,112 @@ def _build_scan(W: int, T: int, L: int):
     return call
 
 
+@functools.lru_cache(maxsize=None)
+def _build_scan_sel(W: int, T: int, L: int, S: int):
+    """Scan kernel with in-step boundary selection: instead of writing the
+    full (72, W*T*L) prefix vector to HBM (302 MB/window at n=2^20 — the
+    dominant HBM cost) and gathering B-1 boundaries from it afterwards, the
+    host tells each step which lanes hold bucket-boundary prefixes
+    (sel (W*T, 1, S) i32 lane ids, -1 = empty slot) and the kernel emits
+    only those, via an exact one-hot MXU dot of the step's fresh prefix.
+    The B-1 boundary prefixes are consumed as an unordered SUM downstream
+    (S_w = (B-1)*total - sum_t P[e_t]), so slot order never matters and
+    duplicate lanes (empty buckets) are naturally counted with multiplicity.
+
+    records (49, 1, W*T*L) -> (bsel (72, 1, W*T*S), totals (72, 1, W*L))."""
+
+    def kernel(const_ref, rec_ref, sel_ref, bsel_ref, tot_ref, accx, accy, accz):
+        t = pl.program_id(1)
+        rec = rec_ref[...]
+        x = rec[:24, 0, :]
+        y = rec[24:48, 0, :]
+        infv = rec[48, 0, :] != 0
+        with ma.force_unroll(), ma.const_override(
+            fq_mod=const_ref[:, 0], fq_one_mont=const_ref[:, 1]
+        ):
+            first = t == 0
+            zeros = jnp.zeros_like(x)
+            prev = og.JPoints(
+                jnp.where(first, zeros, accx[...]),
+                jnp.where(first, zeros, accy[...]),
+                jnp.where(first, zeros, accz[...]),
+            )
+            res = og._jmadd_formulas(prev, og.APoints(x, y, infv))
+        accx[...] = res.x
+        accy[...] = res.y
+        accz[...] = res.z
+        out = jnp.concatenate([res.x, res.y, res.z], axis=0)  # (72, L)
+        tot_ref[...] = out.reshape(72, 1, L)
+        # exact one-hot selection of boundary lanes (see ops.gather for the
+        # byte-plane bf16 trick): planes (288, L) @ one-hot (L, S) -> (288, S)
+        planes = [
+            (out & jnp.uint32(0xFF)),
+            ((out >> jnp.uint32(8)) & jnp.uint32(0xFF)),
+            ((out >> jnp.uint32(16)) & jnp.uint32(0xFF)),
+            ((out >> jnp.uint32(24)) & jnp.uint32(0xFF)),
+        ]
+        a = (
+            jnp.concatenate(planes, axis=0)
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (L, S), 0)
+        oh = (
+            (lanes == sel_ref[...].reshape(1, S))
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )
+        acc = jnp.dot(a, oh, preferred_element_type=jnp.float32)
+        p = acc.astype(jnp.int32).astype(jnp.uint32).reshape(4, 72, S)
+        bsel_ref[...] = (
+            p[0] | (p[1] << jnp.uint32(8)) | (p[2] << jnp.uint32(16))
+            | (p[3] << jnp.uint32(24))
+        ).reshape(72, 1, S)
+
+    def call(records, sel):
+        return pl.pallas_call(
+            kernel,
+            grid=(W, T),
+            in_specs=[
+                _const_spec2(),
+                _vspec((49, 1, L), lambda w, t: (0, 0, w * T + t)),
+                _vspec((1, 1, S), lambda w, t: (w * T + t, 0, 0)),
+            ],
+            out_specs=[
+                _vspec((72, 1, S), lambda w, t: (0, 0, w * T + t)),
+                _vspec((72, 1, L), lambda w, t: (0, 0, w)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((72, 1, W * T * S), jnp.uint32),
+                jax.ShapeDtypeStruct((72, 1, W * L), jnp.uint32),
+            ],
+            scratch_shapes=(
+                [pltpu.VMEM((24, L), jnp.uint32)] * 3 if pltpu is not None else []
+            ),
+            interpret=_interpret(),
+        )(_consts_arr(), records, sel)
+
+    return call
+
+
+import os as _os
+
+_LANES = int(_os.environ.get("CURDLEPROOFS_SCAN_LANES", "0"))
+
+
 def pick_lanes(n: int) -> int:
-    """Scan lane width: full VPU tiles, bounded by the vector length."""
-    return min(512, n)
+    """Scan lane width: the per-step parallelism of the sequential scan.
+
+    Wider L = fewer, fatter sequential steps (each step is one mixed add
+    whose ~11-mul dependency chain is latency-exposed, so width is nearly
+    free until VMEM pressure bites) at the cost of more lane-offset stitch
+    work (2*log2(L)*L adds/window, run at full width). Overridable via
+    CURDLEPROOFS_SCAN_LANES for tuning."""
+    if _LANES:
+        return min(_LANES, n)
+    return min(2048, n)
 
 
 def scan_records(records: jnp.ndarray, W: int, T: int, L: int):
@@ -137,6 +240,32 @@ def scan_records(records: jnp.ndarray, W: int, T: int, L: int):
 def scan_records_pallas(records: jnp.ndarray, W: int, T: int, L: int):
     pref, tot = _build_scan(W, T, L)(records.reshape(49, 1, W * T * L))
     return pref.reshape(72, W, T * L), tot.reshape(72, W, L)
+
+
+def scan_records_sel(
+    records: jnp.ndarray, sel: jnp.ndarray, W: int, T: int, L: int, S: int
+):
+    """Streaming scan emitting only host-selected boundary prefixes.
+
+    records (49, W*T*L) u32 as in scan_records; sel (W*T, S) i32 lane ids
+    (-1 = empty slot, emits the zero triple = identity). Returns
+    (bsel (72, W, T*S) selected prefixes, lane_totals (72, W, L))."""
+    from curdleproofs_tpu.ops import pallas_g1
+
+    if pallas_g1.enabled():
+        bs, tot = _build_scan_sel(W, T, L, S)(
+            records.reshape(49, 1, W * T * L), sel.reshape(W * T, 1, S)
+        )
+        return bs.reshape(72, W, T * S), tot.reshape(72, W, L)
+    pref, tot = _scan_records_xla(records, W, T, L)
+    # XLA twin: select from the full prefix. flat pos = t*L + lane
+    lane = sel.reshape(W, T, S)
+    pos = jnp.arange(T, dtype=jnp.int32).reshape(1, T, 1) * L + lane
+    pos = jnp.where(lane >= 0, pos, -1).reshape(W, T * S)
+    safe = jnp.clip(pos, 0, T * L - 1)
+    bs = jnp.take_along_axis(pref, safe[None, :, :], axis=-1)
+    bs = jnp.where((pos >= 0)[None, :, :], bs, jnp.zeros_like(bs))
+    return bs, tot
 
 
 def _scan_records_xla(records: jnp.ndarray, W: int, T: int, L: int):
