@@ -20,6 +20,7 @@ from curdleproofs_tpu.models.whisk import (
     AreValidWhiskShuffleProofs,
     BLSPubkey,
     GenerateWhiskShuffleProof,
+    GenerateWhiskShuffleProofs,
     GenerateWhiskTrackerProof,
     IsValidWhiskOpeningProof,
     IsValidWhiskShuffleProof,
@@ -48,6 +49,7 @@ __all__ = [
     "AreValidWhiskShuffleProofs",
     "BLSPubkey",
     "GenerateWhiskShuffleProof",
+    "GenerateWhiskShuffleProofs",
     "GenerateWhiskTrackerProof",
     "IsValidWhiskOpeningProof",
     "IsValidWhiskShuffleProof",

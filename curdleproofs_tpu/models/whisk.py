@@ -7,6 +7,7 @@ from curdleproofs_tpu.protocol.whisk import (  # noqa: F401
     WhiskTracker,
     AreValidWhiskShuffleProofs,
     GenerateWhiskShuffleProof,
+    GenerateWhiskShuffleProofs,
     GenerateWhiskTrackerProof,
     AssertIsValidWhiskOpeningProof,
     AssertIsValidWhiskShuffleProof,

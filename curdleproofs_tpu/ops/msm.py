@@ -703,6 +703,64 @@ def msm_naive(points: APoints, scalars: jnp.ndarray) -> G1:
     return msm_ladder(points, scalars)
 
 
+def msm_ladder_segmented(
+    points: APoints, scalars_np: np.ndarray, K: int
+) -> List[G1]:
+    """K independent same-width MSMs as ONE device dispatch.
+
+    points (24, K*m) affine, scalars (16, K*m) host numpy canonical limbs;
+    segment k owns lanes [k*m, (k+1)*m). Returns the K segment results.
+    This is the device engine behind lockstep batch *proving* (SURVEY §2.3
+    batch parallelism): 64 concurrent ell=124 provers make every protocol
+    MSM a 64x128-lane batch — ladder-kernel territory — where the reference
+    (msm_accumulator.py:6-12) loops point-by-point per proof."""
+    from curdleproofs_tpu.ops import pallas_g1
+    from curdleproofs_tpu.utils.profiling import timed
+
+    n = points.x.shape[-1]
+    if n % K:
+        raise ValueError("segmented msm: width not divisible by K")
+    with timed("msm.ladder_seg", items=n, point_ops=ladder_point_ops(n)):
+        if pallas_g1.enabled():
+            from curdleproofs_tpu.ops import glv
+
+            s1, neg1, s2 = glv.decompose(scalars_np.astype(np.uint64))
+            res = _glv_ladder_segmented(
+                points.x,
+                points.y,
+                points.inf,
+                jnp.asarray(neg1),
+                jnp.asarray(s1),
+                jnp.asarray(s2),
+                K,
+            )
+        else:
+            res = _ladder_segmented_xla(points, jnp.asarray(scalars_np), K)
+        return og.jpoints_to_host(res)
+
+
+@partial(jax.jit, static_argnames=("K",))
+def _glv_ladder_segmented(px, py, pinf, neg1, s1, s2, K: int) -> "og.JPoints":
+    from curdleproofs_tpu.ops import pallas_g1
+
+    acc = pallas_g1.scalar_mul_glv(APoints(px, py, pinf), s1, neg1, s2)
+    m = acc.x.shape[-1] // K
+    seg = JPoints(
+        acc.x.reshape(24, K, m), acc.y.reshape(24, K, m), acc.z.reshape(24, K, m)
+    )
+    return oscan.tree_reduce_hybrid(seg)
+
+
+@partial(jax.jit, static_argnames=("K",))
+def _ladder_segmented_xla(points: APoints, scalars: jnp.ndarray, K: int):
+    acc = og.scalar_mul(points, scalars)
+    m = acc.x.shape[-1] // K
+    seg = JPoints(
+        acc.x.reshape(24, K, m), acc.y.reshape(24, K, m), acc.z.reshape(24, K, m)
+    )
+    return oscan.tree_reduce_hybrid(seg)
+
+
 @jax.jit
 def _msm_ladder_device(points: APoints, scalars: jnp.ndarray) -> og.JPoints:
     acc = og.scalar_mul(points, scalars)

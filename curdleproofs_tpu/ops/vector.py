@@ -94,6 +94,24 @@ def fold_points(a: Sequence[G1], b: Sequence[G1], gamma: Fr) -> List[G1]:
     return og.jpoints_to_host(res)[:n]
 
 
+def fold_points_multi(
+    a: Sequence[G1], b: Sequence[G1], gammas: Sequence[Fr]
+) -> List[G1]:
+    """[a_i + gammas_i * b_i] — fold with PER-ELEMENT scalars. Used by the
+    lockstep batch prover, where K proofs' fold rounds merge into one
+    dispatch and each segment carries its own challenge."""
+    n = len(a)
+    if n != len(b) or n != len(gammas):
+        raise ValueError("fold_points_multi length mismatch")
+    if n == 0:
+        return []
+    m = _pad_width(n)
+    res = _fold_kernel(
+        _pack_padded(a, m), _pack_padded(b, m), _pack_scalars_padded(gammas, m)
+    )
+    return og.jpoints_to_host(res)[:n]
+
+
 def add_points(a: Sequence[G1], b: Sequence[G1]) -> List[G1]:
     """[a_i + b_i] elementwise."""
     n = len(a)

@@ -259,9 +259,15 @@ def verify_shuffle_proofs(
     import os
     from concurrent.futures import ThreadPoolExecutor
 
+    # Each worker gets its OWN rng, derived sequentially on this thread:
+    # a shared seeded Random consumed under thread interleaving would make
+    # "deterministic given seed" a lie (soundness is unaffected either way —
+    # any unpredictable-to-the-prover combination scalars work).
+    rngs = [rng.spawn() if rng is not None else None for _ in instances]
+
     def check_one(pair):
-        proof, vi = pair
-        local = MSMAccumulator(rng=rng)
+        (proof, vi), local_rng = pair
+        local = MSMAccumulator(rng=local_rng)
         proof.verify(
             crs,
             vi.vec_R,
@@ -274,11 +280,12 @@ def verify_shuffle_proofs(
         return local
 
     workers = workers or min(8, os.cpu_count() or 1, max(1, len(instances)))
+    jobs = list(zip(instances, rngs))
     if workers > 1 and len(instances) > 1:
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            locals_ = list(pool.map(check_one, instances))
+            locals_ = list(pool.map(check_one, jobs))
     else:
-        locals_ = [check_one(pair) for pair in instances]
+        locals_ = [check_one(job) for job in jobs]
 
     acc = MSMAccumulator(rng=rng)
     for local in locals_:

@@ -107,6 +107,34 @@ def GenerateWhiskShuffleProof(
     return _encode_trackers(vec_T, vec_U), WhiskShuffleProof(M, proof).to_bytes()
 
 
+def GenerateWhiskShuffleProofs(
+    crs: CurdleproofsCrs,
+    pre_shuffle_tracker_lists: Sequence[Sequence[WhiskTracker]],
+    rng: Optional[ProofRng] = None,
+) -> List[Tuple[List[WhiskTracker], WhiskShuffleProofBytes]]:
+    """Batch *proving* (framework extension; SURVEY §2.3 batch parallelism):
+    K independent shuffle proofs over the same CRS run in lockstep worker
+    threads, every protocol point-op coalescing across the batch into one
+    merged dispatch (utils.lockstep) — on TPU the MSMs of K=64 ell=124
+    provers become 64x128-lane ladder batches. Per-proof randomness is
+    derived via rng.spawn() in batch order, so a seeded rng stays
+    deterministic regardless of thread scheduling. Results match K
+    sequential GenerateWhiskShuffleProof calls semantically (each proof
+    verifies independently)."""
+    from curdleproofs_tpu.utils.lockstep import run_lockstep
+
+    rng = rng or default_rng()
+    rngs = [rng.spawn() for _ in pre_shuffle_tracker_lists]
+
+    def make(pre: Sequence[WhiskTracker], r: ProofRng):
+        return lambda: GenerateWhiskShuffleProof(crs, pre, r)
+
+    fns = [
+        make(pre, r) for pre, r in zip(pre_shuffle_tracker_lists, rngs)
+    ]
+    return run_lockstep(fns)
+
+
 def AssertIsValidWhiskShuffleProof(
     crs: CurdleproofsCrs,
     pre_shuffle_trackers: Sequence[WhiskTracker],

@@ -29,6 +29,15 @@ class ProofRng:
         self._rng.shuffle(perm)
         return perm
 
+    def spawn(self) -> "ProofRng":
+        """Derive an independent child rng.
+
+        Drawing the child seed happens HERE, on the caller's thread, so a
+        batch of children can be derived sequentially and then handed to a
+        thread pool — each worker owns its rng, keeping seeded runs
+        deterministic regardless of thread interleaving."""
+        return ProofRng(self._rng.getrandbits(128))
+
 
 _default = ProofRng()
 

@@ -38,6 +38,15 @@ DEVICE_MIN = int(os.environ.get("CURDLEPROOFS_DEVICE_MIN", "4096"))
 _FrLike = Union[Fr, int]
 
 
+def _lockstep_ctx():
+    """Active lockstep batch context, if this thread is a batch-prover
+    worker (utils.lockstep): point-ops then coalesce across K provers
+    instead of routing by size."""
+    from curdleproofs_tpu.utils import lockstep
+
+    return lockstep.current()
+
+
 def _as_int(x: _FrLike) -> int:
     return x.v if isinstance(x, Fr) else x % FR_MOD
 
@@ -253,6 +262,9 @@ class PointVec:
             raise ValueError("msm: length mismatch")
         if n == 0:
             return G1.identity()
+        ctx = _lockstep_ctx()
+        if ctx is not None:
+            return ctx.msm(self._pts, scalars.tolist())
         if n < DEVICE_MIN:
             return _cv.msm_host(self._pts, scalars.tolist())
         from curdleproofs_tpu.ops import msm as omsm
@@ -269,6 +281,9 @@ class PointVec:
         )
         if len(sv) != n:
             raise ValueError("scaled: length mismatch")
+        ctx = _lockstep_ctx()
+        if ctx is not None:
+            return PointVec(ctx.scaled(self._pts, sv.tolist()))
         if n < DEVICE_MIN:
             return PointVec(_cv.mul_host_batch(self._pts, sv.tolist()))
         from curdleproofs_tpu.ops import vector as ovec
@@ -279,6 +294,9 @@ class PointVec:
         n = len(self._pts)
         if len(other) != n:
             raise ValueError("add: length mismatch")
+        ctx = _lockstep_ctx()
+        if ctx is not None:
+            return PointVec(ctx.add(self._pts, other._pts))
         if n < DEVICE_MIN:
             return PointVec(_cv.add_host_batch(self._pts, other._pts))
         from curdleproofs_tpu.ops import vector as ovec
@@ -289,6 +307,9 @@ class PointVec:
         """Halve the vector: lo_i + gamma * hi_i (the Bulletproofs fold)."""
         lo, hi = self.split()
         n = len(lo)
+        ctx = _lockstep_ctx()
+        if ctx is not None:
+            return PointVec(ctx.folded(lo._pts, hi._pts, gamma))
         if n < DEVICE_MIN:
             return PointVec(
                 _cv.add_host_batch(

@@ -159,6 +159,15 @@ def test_batched_verification(shuffle_instance):
     ]
     verify_shuffle_proofs(crs, instances)  # one aggregated MSM for both
 
+    # seeded + threaded: each worker gets a rng spawned sequentially on the
+    # caller's thread, so a fixed seed is deterministic regardless of thread
+    # interleaving (spawn order is defined, consumption order is not)
+    verify_shuffle_proofs(crs, instances, rng=ProofRng(7), workers=2)
+    a, b = ProofRng(5), ProofRng(5)
+    assert [a.spawn().random_scalar() for _ in range(4)] == [
+        b.spawn().random_scalar() for _ in range(4)
+    ]
+
     # one bad instance poisons the batch
     bad = [
         instances[0],
