@@ -480,6 +480,32 @@ ROUTE_MIN_N = 1 << 14
 ROUTE_MIN_FACTOR = 128
 
 
+def stream_host_prep(digits: np.ndarray, c: int, L: int):
+    """Host index prep for the streaming scan: digit-sort permutations in
+    column-major device layout + bucket-boundary/lane-offset index tables.
+
+    digits (W, n) uint16 -> (order_cm (W, n) i32, bidx (W, B-1) i32,
+    lidx (W, B-1) i32, e (W, B-1) i64 raw boundary ranks)."""
+    W, n = digits.shape
+    T = n // L
+    B = 1 << c
+    order = np.argsort(digits, axis=-1, kind="stable").astype(np.int32)
+    sd = np.take_along_axis(digits, order.astype(np.intp), axis=-1)
+    ts = np.arange(B - 1, dtype=np.uint16)
+    e = np.empty((W, B - 1), np.int64)
+    for w in range(W):
+        e[w] = np.searchsorted(sd[w], ts, side="right") - 1
+    # column-major relabel: device flat position t*L + l holds sorted rank
+    # l*T + t, so lane l's VMEM accumulator walks ranks [l*T, (l+1)*T)
+    order_cm = np.ascontiguousarray(
+        order.reshape(W, L, T).transpose(0, 2, 1)
+    ).reshape(W, n)
+    t_e, l_e = e % T, e // T
+    bidx = np.where(e >= 0, t_e * L + l_e, -1).astype(np.int32)
+    lidx = np.where((e >= 0) & (l_e > 0), l_e - 1, -1).astype(np.int32)
+    return order_cm, bidx, lidx, e
+
+
 def msm_pippenger_stream(
     points: APoints,
     scalars: np.ndarray,
@@ -532,20 +558,7 @@ def _msm_stream_impl(
 
     # --- host: digits, per-window argsort, boundary/lane index prep -------
     digits = host_digits(scalars_np, c)  # (W, n) uint16
-    order = np.argsort(digits, axis=-1, kind="stable").astype(np.int32)
-    sd = np.take_along_axis(digits, order.astype(np.intp), axis=-1)
-    ts = np.arange(B - 1, dtype=np.uint16)
-    e = np.empty((W, B - 1), np.int64)
-    for w in range(W):
-        e[w] = np.searchsorted(sd[w], ts, side="right") - 1
-    # column-major relabel: device flat position t*L + l holds sorted rank
-    # l*T + t, so lane l's VMEM accumulator walks ranks [l*T, (l+1)*T)
-    order_cm = np.ascontiguousarray(
-        order.reshape(W, L, T).transpose(0, 2, 1)
-    ).reshape(W, n)
-    t_e, l_e = e % T, e // T
-    bidx = np.where(e >= 0, t_e * L + l_e, -1).astype(np.int32)
-    lidx = np.where((e >= 0) & (l_e > 0), l_e - 1, -1).astype(np.int32)
+    order_cm, bidx, lidx, e = stream_host_prep(digits, c, L)
 
     if routed is None:
         routed = n >= ROUTE_MIN_N

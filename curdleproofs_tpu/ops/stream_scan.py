@@ -210,14 +210,18 @@ _LANES = int(_os.environ.get("CURDLEPROOFS_SCAN_LANES", "0"))
 def pick_lanes(n: int) -> int:
     """Scan lane width: the per-step parallelism of the sequential scan.
 
-    Wider L = fewer, fatter sequential steps (each step is one mixed add
-    whose ~11-mul dependency chain is latency-exposed, so width is nearly
-    free until VMEM pressure bites) at the cost of more lane-offset stitch
-    work (2*log2(L)*L adds/window, run at full width). Overridable via
+    Wider L = fewer, fatter sequential steps at the cost of more lane-offset
+    stitch work (2*log2(L)*L adds/window, run at full width). Measured on
+    v5e (benchmarks/micro_scan_lanes.py, n=2^16, 22 windows): L=256 136 ms,
+    L=512 138 ms, L=1024 159 ms — throughput is flat ~10.5M mixed adds/s
+    (near the fused-add roofline), while L=2048 exceeds the 16 MB scoped
+    VMEM stack limit in the unrolled mixed-add kernel. 512 keeps the
+    in-kernel boundary-selection occupancy ((B-1)/T) comfortably under
+    SEL_SLOTS at every operating point. Overridable via
     CURDLEPROOFS_SCAN_LANES for tuning."""
     if _LANES:
         return min(_LANES, n)
-    return min(2048, n)
+    return min(512, n)
 
 
 def scan_records(records: jnp.ndarray, W: int, T: int, L: int):

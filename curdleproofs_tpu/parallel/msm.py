@@ -2,15 +2,18 @@
 
 Points and digits are sharded across the mesh's point axis; every device runs
 the full local sort + prefix-scan + boundary-gather Pippenger pipeline on its
-shard (ops.msm._window_partials), producing per-shard window partials
-(one total + B-1 boundary prefix sums per window chunk — a few KB). Those are
-combined by linearity:
+shard (ops.msm._window_partials or the streaming pipeline), producing
+per-shard window partials. Those are combined by linearity IN-GRAPH:
 
     S_w = sum_shards [ (B-1) * total_shard  -  bsum_{shard, w} ]
 
-so the only cross-device data movement is the gather of per-shard partials —
-the TPU-native analog of the reference's absent distributed backend
-(SURVEY.md §2.3, §5: "bucket-sum all-reduce suffices").
+Each shard computes its own window contribution, then the group-element
+all-reduce (an `all_gather` over the point axis followed by a local Jacobian
+tree-reduce — group addition is not an integer `psum`, so gather+reduce IS
+the collective sum) runs inside the same jitted shard_map, riding ICI
+(intra-slice) / DCN (multi-host). Only the final 255-op Horner window
+combine runs on host. This is the TPU-native analog of the reference's
+absent distributed backend (SURVEY.md §2.3, §5: "bucket-sum all-reduce").
 
 This module is exercised on a virtual 8-device CPU mesh in tests and by
 __graft_entry__.dryrun_multichip; on hardware the same code runs over ICI
@@ -38,32 +41,64 @@ from curdleproofs_tpu.parallel.mesh import make_mesh
 FR_BITS = omsm.FR_BITS
 
 
-def _shard_kernel(points: APoints, digits: jnp.ndarray, c: int):
-    """Per-shard window partials, with a leading shard axis for gathering."""
+def _mul_pow2m1(p: JPoints, c: int) -> JPoints:
+    """(2^c - 1) * P in-graph: c doublings + one subtraction."""
+    acc = p
+    for _ in range(c):
+        acc = og.jdbl(acc)
+    return og.jadd(acc, og.jneg(p))
+
+
+def _allreduce_group(p: JPoints, axis: str) -> JPoints:
+    """Group-element all-reduce over a mesh axis: all_gather the Jacobian
+    limbs, then tree-reduce the gathered axis with exact group adds on every
+    device (replicated result). psum would be a plain integer add — wrong
+    for curve points — so gather+local-reduce IS the collective."""
+    gx = jax.lax.all_gather(p.x, axis)  # (D, 24, ...)
+    gy = jax.lax.all_gather(p.y, axis)
+    gz = jax.lax.all_gather(p.z, axis)
+    g = JPoints(
+        jnp.moveaxis(gx, 0, -1), jnp.moveaxis(gy, 0, -1), jnp.moveaxis(gz, 0, -1)
+    )
+    return oscan.tree_reduce_hybrid(g)
+
+
+def _window_sums_collective(total: JPoints, bsums: JPoints, c: int, axis: str):
+    """Per-shard (total, bucket-weighted boundary sums) -> REPLICATED
+    per-window sums S_w = sum_shards ((B-1)*total_s - bsum_{s,w})."""
+    tb = JPoints(total.x[:, None], total.y[:, None], total.z[:, None])
+    big = _mul_pow2m1(tb, c)  # (24, 1)
+    win = og.jadd(
+        JPoints(
+            jnp.broadcast_to(big.x, bsums.x.shape),
+            jnp.broadcast_to(big.y, bsums.y.shape),
+            jnp.broadcast_to(big.z, bsums.z.shape),
+        ),
+        og.jneg(bsums),
+    )  # (24, wb) local contribution
+    return _allreduce_group(win, axis)
+
+
+def _shard_kernel(points: APoints, digits: jnp.ndarray, c: int, axis: str):
+    """Per-shard window partials + in-graph collective window combine."""
     total, bsums = omsm._window_partials(points, digits, c)
-    return total.x[None], total.y[None], total.z[None], bsums.x[None], bsums.y[None], bsums.z[None]
+    wins = _window_sums_collective(total, bsums, c, axis)
+    return wins.x, wins.y, wins.z
 
 
 @functools.lru_cache(maxsize=None)
 def _pippenger_shard_fn(mesh: Mesh, point_axis: str, c: int):
-    """Jitted shard_map window-partial kernel, cached per (mesh, axis, c)."""
+    """Jitted shard_map window-sum kernel, cached per (mesh, axis, c)."""
     pspec = APoints(P(None, point_axis), P(None, point_axis), P(point_axis))
     dspec = P(None, point_axis)
-    out_spec = (
-        P(point_axis, None),
-        P(point_axis, None),
-        P(point_axis, None),
-        P(point_axis, None, None),
-        P(point_axis, None, None),
-        P(point_axis, None, None),
-    )
+    out_spec = (P(None, None), P(None, None), P(None, None))
     return jax.jit(
         shard_map(
-            partial(_shard_kernel, c=c),
+            partial(_shard_kernel, c=c, axis=point_axis),
             mesh=mesh,
             in_specs=(pspec, dspec),
             out_specs=out_spec,
-            check_vma=False,  # per-shard results intentionally not replicated
+            check_vma=False,  # all_gather replicates; vma tracking off
         )
     )
 
@@ -74,13 +109,16 @@ def _ladder_shard_fn(mesh: Mesh, point_axis: str, use_glv: bool):
     rebuilding the closure per call would recompile on every invocation."""
     from curdleproofs_tpu.ops import pallas_g1
 
-    out_spec = (P(point_axis, None), P(point_axis, None), P(point_axis, None))
+    out_spec = (P(None), P(None), P(None))
     if use_glv:
 
         def kernel(px, py, pinf, ng, sa, sb):
             acc = pallas_g1.scalar_mul_glv(APoints(px, py, pinf), sa, ng, sb)
             r = oscan.tree_reduce_hybrid(acc)
-            return r.x[None], r.y[None], r.z[None]
+            g = _allreduce_group(
+                JPoints(r.x[:, None], r.y[:, None], r.z[:, None]), point_axis
+            )  # (24, 1) replicated: the ONE Jacobian point crossing ICI
+            return g.x[:, 0], g.y[:, 0], g.z[:, 0]
 
         in_specs = (
             P(None, point_axis),
@@ -95,7 +133,10 @@ def _ladder_shard_fn(mesh: Mesh, point_axis: str, use_glv: bool):
         def kernel(px, py, pinf, sc):
             acc = og.scalar_mul(APoints(px, py, pinf), sc)
             r = oscan.tree_reduce_hybrid(acc)
-            return r.x[None], r.y[None], r.z[None]
+            g = _allreduce_group(
+                JPoints(r.x[:, None], r.y[:, None], r.z[:, None]), point_axis
+            )
+            return g.x[:, 0], g.y[:, 0], g.z[:, 0]
 
         in_specs = (
             P(None, point_axis),
@@ -169,11 +210,107 @@ def msm_sharded_ladder(
         args = (points.x, points.y, points.inf, og.pack_scalars(scs))
 
     rx, ry, rz = f(*args)
-    # gathered shape is (shards, 24); host combine wants limb-major (24, D)
-    partials = og.jpoints_to_host(JPoints(rx.T, ry.T, rz.T))
+    # combined in-graph (all_gather + tree reduce); one replicated point out
+    return og.jpoints_to_host(JPoints(rx[:, None], ry[:, None], rz[:, None]))[0]
+
+
+def _stream_shard_kernel(
+    packed, ordc, bc, lc, c: int, T: int, L: int, axis: str
+):
+    """Per-shard streaming pipeline (gather -> scan -> boundary stitch) +
+    in-graph collective window combine. packed (49, local) point records;
+    ordc/bc/lc carry a leading length-1 shard axis from the index sharding."""
+    total, bsums = omsm._stream_window_partials.__wrapped__(
+        packed, ordc[0], bc[0], lc[0], T, L
+    )
+    wins = _window_sums_collective(total, bsums, c, axis)
+    return wins.x, wins.y, wins.z
+
+
+@functools.lru_cache(maxsize=None)
+def _stream_shard_fn(mesh: Mesh, point_axis: str, c: int, T: int, L: int):
+    return jax.jit(
+        shard_map(
+            partial(_stream_shard_kernel, c=c, T=T, L=L, axis=point_axis),
+            mesh=mesh,
+            in_specs=(
+                P(None, point_axis),
+                P(point_axis, None, None),
+                P(point_axis, None, None),
+                P(point_axis, None, None),
+            ),
+            out_specs=(P(None, None), P(None, None), P(None, None)),
+            check_vma=False,
+        )
+    )
+
+
+def msm_sharded_stream(
+    bases: Sequence[G1],
+    scalars: Sequence[Fr],
+    mesh: Optional[Mesh] = None,
+    c: Optional[int] = None,
+    point_axis: str = "shard",
+) -> G1:
+    """Point-sharded STREAMING Pippenger: every shard sorts its own points
+    (host-side per-shard digit argsort), runs the one-dispatch streaming
+    scan + boundary stitch on its local block, and the per-window partial
+    sums are combined with the in-graph group all-reduce. Cross-device
+    traffic: W Jacobian points per shard (a few KB), over ICI/DCN."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+    from curdleproofs_tpu.ops.stream_scan import pick_lanes
+
+    if len(bases) != len(scalars):
+        raise ValueError("msm length mismatch")
+    if not bases:
+        return G1.identity()
+    mesh = mesh or make_mesh()
+    D = mesh.shape[point_axis]
+
+    n = len(bases)
+    local = 32
+    while local * D < n:
+        local *= 2
+    m = local * D
+    points = og.pack_points(list(bases) + [G1.identity()] * (m - n))
+    sc_np = np.asarray(
+        ints_to_limbs([s.v for s in scalars] + [0] * (m - n), 16),
+        dtype=np.uint32,
+    )
+
+    c = c or omsm.pick_window(local)
+    W = -(-FR_BITS // c)
+    L = pick_lanes(local)
+    T = local // L
+
+    # host: per-shard digit prep (each shard's sort covers only its block)
+    digits = omsm.host_digits(sc_np, c)  # (W, m)
+    ords, bcs, lcs = [], [], []
+    for s in range(D):
+        o, b, l, _ = omsm.stream_host_prep(
+            np.ascontiguousarray(digits[:, s * local : (s + 1) * local]), c, L
+        )
+        ords.append(o)
+        bcs.append(b)
+        lcs.append(l)
+    ordc = jnp.asarray(np.stack(ords))  # (D, W, local)
+    bc = jnp.asarray(np.stack(bcs))  # (D, W, B-1)
+    lc = jnp.asarray(np.stack(lcs))
+
+    packed = jnp.concatenate(
+        [points.x, points.y, points.inf[None].astype(jnp.uint32)], axis=0
+    )
+    f = _stream_shard_fn(mesh, point_axis, c, T, L)
+    wx, wy, wz = f(packed, ordc, bc, lc)
+    wins = og.jpoints_to_host(JPoints(wx, wy, wz))[:W]
+
     acc = G1.identity()
-    for p in partials:
-        acc = acc + p
+    for w in reversed(range(W)):
+        for _ in range(c):
+            acc = acc + acc
+        acc = acc + wins[w]
     return acc
 
 
@@ -212,34 +349,16 @@ def msm_sharded(
 
     kernel = _pippenger_shard_fn(mesh, point_axis, c)
 
-    totals_host: List[G1] = []
-    bsums_host: List[List[G1]] = []  # [shard][window]
+    wins: List[G1] = []  # replicated per-window sums, combined in-graph
     for w0 in range(0, W, window_batch):
         chunk = digits[w0 : w0 + window_batch]
         if chunk.shape[0] != window_batch:
             pad = jnp.zeros((window_batch - chunk.shape[0], m), dtype=chunk.dtype)
             chunk = jnp.concatenate([chunk, pad], axis=0)
-        tx, ty, tz, bx, by, bz = kernel(points, chunk)
-        if not totals_host:
-            for s in range(D):
-                totals_host.append(
-                    og.jpoints_to_host(JPoints(tx[s], ty[s], tz[s]))[0]
-                )
-            bsums_host = [[] for _ in range(D)]
-        for s in range(D):
-            bsums_host[s].extend(og.jpoints_to_host(JPoints(bx[s], by[s], bz[s])))
+        wx, wy, wz = kernel(points, chunk)
+        wins.extend(og.jpoints_to_host(JPoints(wx, wy, wz)))
 
-    # combine by linearity: S_w = sum_s ((B-1) * total_s - bsum_{s,w})
-    B = 1 << c
-    big = [t * Fr(B - 1) for t in totals_host]
-    wins: List[G1] = []
-    for w in range(W):
-        acc = G1.identity()
-        for s in range(D):
-            acc = acc + (big[s] - bsums_host[s][w])
-        wins.append(acc)
-
-    # Horner over windows
+    # Horner over windows (255 host ops; everything else stayed on device)
     acc = G1.identity()
     for w in reversed(range(W)):
         for _ in range(c):

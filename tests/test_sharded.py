@@ -46,6 +46,20 @@ def test_sharded_msm_shard_invariance():
         assert got == expect, f"mesh={n_dev}"
 
 
+@pytest.mark.parametrize("d", [2, 4])
+def test_sharded_stream_matches_oracle(d):
+    """Streaming pipeline per shard + in-graph collective window combine."""
+    from curdleproofs_tpu.parallel.msm import msm_sharded_stream
+
+    n = 32 * d + 5  # padding exercised
+    pts, scs = rand_points(n), rand_scalars(n)
+    pts[2] = G1.identity()
+    scs[3] = Fr(0)
+    mesh = make_mesh(d)
+    got = msm_sharded_stream(pts, scs, mesh=mesh, c=4)
+    assert got == msm_host(pts, scs)
+
+
 @pytest.mark.parametrize("d", [2, 8])
 def test_sharded_ladder_matches_oracle(d):
     from curdleproofs_tpu.parallel.msm import msm_sharded_ladder
