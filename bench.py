@@ -1,13 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark: G1 MSM point-ops/s on one TPU chip at n=2^16.
+"""Headline benchmark: G1 MSM throughput on one TPU chip at n=2^16.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-Baseline target (BASELINE.md): >= 10M G1 point-ops/s/chip, where point-ops
-follow the canonical Pippenger cost model (n adds per c-bit window, W =
-ceil(255/c) windows per MSM).
+
+The headline value is CANONICAL-MODEL point-ops/s: the useful work of an
+MSM under the standard Pippenger cost model — W*(n + B) group adds for
+W = ceil(255/c) windows of c bits, B = 2^c buckets, with c chosen by
+ops.msm.pick_window(n) — divided by measured wall time. This counts the
+same work for every engine, so an engine that executes MORE group ops than
+Pippenger needs (e.g. the fixed-229-ops/lane GLV ladder) is not credited
+for the redundancy. Executed-op throughput per engine is reported
+separately as `executed_ops_per_s`.
+
+Baseline target (BASELINE.md): 10M point-ops/s/chip.
 
 Env knobs: BENCH_N (default 65536), BENCH_C (window bits), BENCH_REPS,
-BENCH_UNROLL=1 to use unrolled limb graphs.
+BENCH_METHOD (stream | ladder | hostsort | pippenger; default stream —
+fastest measured, see benchmarks/micro_msm_methods.py).
 """
 import json
 import os
@@ -22,6 +31,7 @@ if os.environ.get("BENCH_UNROLL"):
 
 def main():
     import jax
+    import numpy as np
 
     n = int(os.environ.get("BENCH_N", 1 << 16))
     reps = int(os.environ.get("BENCH_REPS", 3))
@@ -30,6 +40,7 @@ def main():
     from curdleproofs_tpu.fields import FR_MOD, Fr
     from curdleproofs_tpu.ops import g1 as og
     from curdleproofs_tpu.ops import msm as omsm
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
 
     import hashlib
 
@@ -47,17 +58,22 @@ def main():
 
     points = og.pack_points(pts)
     scalars = og.pack_scalars(scs)
+    sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
     c = int(os.environ.get("BENCH_C", omsm.pick_window(n)))
     W = -(-255 // c)
-    method = os.environ.get("BENCH_METHOD", "ladder")
+    method = os.environ.get("BENCH_METHOD", "stream")
 
-    def run_with(pv, sv):
+    def run_with(sv, sv_np):
         if method == "ladder":
-            return omsm.msm_ladder(pv, sv)
-        return omsm.msm_pippenger(pv, sv, c=c)
+            return omsm.msm_ladder(points, sv)
+        if method == "stream":
+            return omsm.msm_pippenger_stream(points, sv_np, c=c)
+        if method == "hostsort":
+            return omsm.msm_pippenger_hostsort(points, sv_np, c=c)
+        return omsm.msm_pippenger(points, sv, c=c)
 
     def run():
-        return run_with(points, scalars)
+        return run_with(scalars, sc_np)
 
     # warmup (compile; persistent cache makes this cheap on reruns)
     t0 = time.time()
@@ -68,7 +84,10 @@ def main():
     # full-width executable: first 128 scalars kept, the rest zeroed
     small = 128
     check_scs = scs[:small] + [Fr(0)] * (n - small)
-    got = run_with(points, og.pack_scalars(check_scs))
+    check_np = np.asarray(
+        ints_to_limbs([s.v for s in check_scs], 16), dtype=np.uint32
+    )
+    got = run_with(og.pack_scalars(check_scs), check_np)
     assert got == msm_host(pts[:small], scs[:small]), "MSM correctness check failed"
 
     times = []
@@ -79,12 +98,18 @@ def main():
         assert res == res0, "nondeterministic MSM result"
 
     t = min(times)
-    # group operations actually executed by the chosen algorithm
+    # canonical Pippenger cost model: the useful work of this MSM
+    canonical_ops = W * (n + (1 << c))
+    # group operations actually executed by the chosen engine
     if method == "ladder":
-        point_ops = omsm.ladder_point_ops(n)
+        executed_ops = omsm.ladder_point_ops(n)
+    elif method == "stream":
+        executed_ops = omsm.stream_point_ops(n, c)
+    elif method == "hostsort":
+        executed_ops = omsm.hostsort_point_ops(n, c)
     else:
-        point_ops = W * (2 * n + 3 * (1 << c)) + 255  # scan + bucket combine
-    value = point_ops / t
+        executed_ops = W * (2 * n + 3 * (1 << c)) + 255
+    value = canonical_ops / t
 
     # protocol-level latency extras (native host backend, ell=124 Whisk spec)
     from curdleproofs_tpu.models.crs import CurdleproofsCrs
@@ -119,12 +144,15 @@ def main():
     out = {
         "metric": "g1_msm_point_ops_per_s_per_chip",
         "value": round(value),
-        "unit": "point-ops/s",
+        "unit": "point-ops/s (canonical Pippenger model)",
         "vs_baseline": round(value / 10e6, 4),
         "n": n,
         "method": method,
         "window_bits": c,
         "windows": W,
+        "canonical_ops": canonical_ops,
+        "executed_ops": executed_ops,
+        "executed_ops_per_s": round(executed_ops / t),
         "msm_wall_s": round(t, 4),
         "msm_per_s": round(1.0 / t, 3),
         "compile_s": round(compile_s, 1),

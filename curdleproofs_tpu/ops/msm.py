@@ -382,6 +382,7 @@ def _stream_window_partials_routed(packed, i1, i2, i3, bidx, lidx, T: int, L: in
     """
     from curdleproofs_tpu.ops import gather as ogather
 
+    i1, i2, i3 = (a.astype(jnp.int32) for a in (i1, i2, i3))
     g = ogather.routed_gather(packed, i1, i2, i3)  # (49, wb, n)
     return _stream_tail(g, bidx, lidx, T, L)
 
@@ -400,6 +401,7 @@ def _stream_window_partials_routed_sel(
     from curdleproofs_tpu.ops import stream_scan as ostream
 
     wb = i1.shape[0]
+    i1, i2, i3 = (a.astype(jnp.int32) for a in (i1, i2, i3))
     g = ogather.routed_gather(packed, i1, i2, i3)  # (49, wb, n)
     bsel, totals = ostream.scan_records_sel(
         g.reshape(49, wb * T * L), sel, wb, T, L, S
@@ -421,10 +423,12 @@ def _stream_window_partials_routed_sel(
 
 
 # boundary-selection slot capacity per scan step; mean occupancy is
-# (B-1)/T (~32 at the operating points), so 128 gives 4x headroom. Host
-# falls back to the full-prefix path when any (window, step) overflows
-# (possible only for adversarially concentrated digit distributions).
-SEL_SLOTS = 128
+# (B-1)/T (~32 at the operating points: L=512, c=12), so 64 gives 2x
+# headroom while halving the (wb, T*S) selected-prefix tree-reduce — the
+# second-largest group-add cost after the scan itself. Host falls back to
+# the full-prefix path when any (window, step) overflows (possible only
+# for adversarially concentrated digit distributions).
+SEL_SLOTS = 64
 
 
 def _build_sel(e: np.ndarray, T: int, S: int) -> Optional[np.ndarray]:
@@ -566,10 +570,16 @@ def _msm_stream_impl(
     # path only; falls back when a (window, step) cell overflows SEL_SLOTS
     sel_all = _build_sel(e, T, SEL_SLOTS) if routed else None
     if window_batch is None:
-        # per-chunk live set: gathered records (+ full prefix table unless
-        # the selection path elides it): ~200 vs ~500 u32 rows per lane
-        cap = (1 << 23) if sel_all is not None else (1 << 22)
-        window_batch = max(1, min(W, cap // max(n, 1)))
+        if routed:
+            # small chunks PIPELINE host routing solves (~18 ms/window,
+            # background threads) and index-table transfers against device
+            # execution of earlier chunks; VMEM is not the binding
+            # constraint on this path
+            window_batch = max(1, min(W, 8))
+        else:
+            # per-chunk live set: gathered records + full prefix table:
+            # ~500 u32 rows per lane
+            window_batch = max(1, min(W, (1 << 22) // max(n, 1)))
 
     packed = jnp.concatenate(
         [points.x, points.y, points.inf[None].astype(jnp.uint32)], axis=0
@@ -588,19 +598,23 @@ def _msm_stream_impl(
         rr, rc = oroute.pick_rc(n, ROUTE_MIN_FACTOR)
         pool = ThreadPoolExecutor(max_workers=min(8, _os.cpu_count() or 1))
         ident = np.arange(n, dtype=np.int32)[None]  # pad rows: identity perm
-        route_futs = [
-            pool.submit(
-                oroute.decompose,
-                rr,
-                rc,
-                order_cm[w : w + 1] if w < W else ident,
+
+        def solve(rows):
+            # int16 tables: local indices are < max(r, c) <= 2^15, and the
+            # 16-bit transfer halves the dominant host->device traffic (the
+            # kernels upcast on device)
+            return tuple(
+                a.astype(np.int16) for a in oroute.decompose(rr, rc, rows)
             )
+
+        route_futs = [
+            pool.submit(solve, order_cm[w : w + 1] if w < W else ident)
             for w in range(-(-W // window_batch) * window_batch)
         ]
         pool.shutdown(wait=False)
 
-    total_host: Optional[G1] = None
-    bsums_host: List[G1] = []
+    pending = []  # (total, bsums) DEVICE handles; dispatches stay async so
+    # chunk k+1's host prep/transfers overlap chunk k's device execution
     for w0 in range(0, W, window_batch):
         sl = slice(w0, w0 + window_batch)
         ordc, bc, lc = order_cm[sl], bidx[sl], lidx[sl]
@@ -656,8 +670,11 @@ def _msm_stream_impl(
             total, bsums = _stream_window_partials(
                 packed, jnp.asarray(ordc), jnp.asarray(bc), jnp.asarray(lc), T, L
             )
-        if total_host is None:
-            total_host = og.jpoints_to_host(total)[0]
+        pending.append((total, bsums))
+
+    total_host = og.jpoints_to_host(pending[0][0])[0]
+    bsums_host: List[G1] = []
+    for _, bsums in pending:
         bsums_host.extend(og.jpoints_to_host(bsums))
     return _combine_windows_host(total_host, bsums_host[:W], c, W)
 
