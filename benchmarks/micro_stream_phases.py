@@ -62,8 +62,9 @@ def main():
     order_cm, bidx, lidx, e = omsm.stream_host_prep(digits, c, L)
     t_prep = time.perf_counter() - t0
     t0 = time.perf_counter()
-    sel = omsm._build_sel(e, T, S)
+    sel, bpos = omsm._build_sel(e, T, S)
     t_sel = time.perf_counter() - t0
+    assert sel is not None, "sel overflow at operating point"
     rr, rc = oroute.pick_rc(n, omsm.ROUTE_MIN_FACTOR)
     t0 = time.perf_counter()
     i1, i2, i3 = oroute.decompose(rr, rc, order_cm)
@@ -83,13 +84,14 @@ def main():
     i2c = jnp.asarray(i2[:wb].astype(np.int16))
     i3c = jnp.asarray(i3[:wb].astype(np.int16))
     selc = jnp.asarray(sel[: wb * T])
+    bpc = jnp.asarray(bpos[:wb])
     lc = jnp.asarray(lidx[:wb])
     f = omsm._stream_window_partials_routed_sel
-    tot, bs = f(packed, i1c, i2c, i3c, selc, lc, T, L, S)  # warm
+    tot, bs = f(packed, i1c, i2c, i3c, selc, bpc, lc, T, L, S)  # warm
     np.asarray(tot.x)
     for _ in range(reps):
         t0 = time.perf_counter()
-        tot, bs = f(packed, i1c, i2c, i3c, selc, lc, T, L, S)
+        tot, bs = f(packed, i1c, i2c, i3c, selc, bpc, lc, T, L, S)
         np.asarray(bs.x)
         np.asarray(tot.x)
         dt = time.perf_counter() - t0

@@ -74,13 +74,16 @@ def bench_shuffle(ell, n_blinders, seed, warm=True):
     return out
 
 
-def bench_msm_sweep(sizes, method):
+def bench_msm_sweep(sizes, methods):
     import hashlib
+
+    import numpy as np
 
     from curdleproofs_tpu.curve import G1
     from curdleproofs_tpu.fields import FR_MOD, Fr
     from curdleproofs_tpu.ops import g1 as og
     from curdleproofs_tpu.ops import msm as omsm
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
 
     out = []
     nmax = max(sizes)
@@ -94,29 +97,36 @@ def bench_msm_sweep(sizes, method):
         Fr(int.from_bytes(hashlib.sha256(f"s{i}".encode()).digest(), "little") % FR_MOD)
         for i in range(nmax)
     ]
+    ints = [s.v for s in scs]
     for n in sizes:
         points = og.pack_points(pts[:n])
         scalars = og.pack_scalars(scs[:n])
+        sc_np = np.asarray(ints_to_limbs(ints[:n], 16), dtype=np.uint32)
+        c = omsm.pick_window(n)
+        W = -(-255 // c)
+        canonical = W * (n + (1 << c))
+        row = {"n": n, "c": c}
+        for method in methods:
 
-        def run():
-            if method == "ladder":
-                p2, s2 = omsm._pad_pow2_inputs(points, scalars)
-                return omsm.msm_ladder(p2, s2)
-            return omsm.msm_pippenger(points, scalars)
+            def run():
+                if method == "ladder":
+                    p2, s2 = omsm._pad_pow2_inputs(points, scalars)
+                    return omsm.msm_ladder(p2, s2)
+                if method == "stream":
+                    return omsm.msm_pippenger_stream(points, sc_np, c=c)
+                return omsm.msm_pippenger(points, scalars)
 
-        r0 = run()  # warmup/compile
-        t0 = time.time()
-        r1 = run()
-        dt = time.time() - t0
-        assert r0 == r1
-        ops = omsm.ladder_point_ops(n) if method == "ladder" else None
-        out.append(
-            {
-                "n": n,
+            r0 = run()  # warmup/compile
+            t0 = time.time()
+            r1 = run()
+            dt = time.time() - t0
+            assert r0 == r1
+            row[method] = {
                 "wall_s": round(dt, 4),
-                "point_ops_per_s": round(ops / dt) if ops else None,
+                "canonical_ops_per_s": round(canonical / dt),
             }
-        )
+        out.append(row)
+        print("  msm", json.dumps(row), flush=True)
     return out
 
 
@@ -168,6 +178,40 @@ def bench_batch_verify(ell, n_blinders, k, seed):
     }
 
 
+def bench_batch_prove(ell, n_blinders, k, seed):
+    """Lockstep batch proving (GenerateWhiskShuffleProofs) vs K sequential
+    proofs — SURVEY (2.3 batch parallelism on the PROVING side."""
+    from curdleproofs_tpu.models.crs import CurdleproofsCrs
+    from curdleproofs_tpu.models.whisk import (
+        GenerateWhiskShuffleProof,
+        GenerateWhiskShuffleProofs,
+        IsValidWhiskShuffleProof,
+    )
+    from curdleproofs_tpu.utils.rng import ProofRng
+
+    rng = ProofRng(seed)
+    crs = CurdleproofsCrs.new(ell, n_blinders, rng)
+    pres = [build_trackers(ell, rng) for _ in range(k)]
+
+    GenerateWhiskShuffleProofs(crs, pres[:2], rng)  # warm compiles
+    t0 = time.time()
+    results = GenerateWhiskShuffleProofs(crs, pres, rng)
+    batch_s = time.time() - t0
+    pre0, (post0, proof0) = pres[0], results[0]
+    assert IsValidWhiskShuffleProof(crs, pre0, post0, proof0)
+
+    t0 = time.time()
+    for pre in pres:
+        GenerateWhiskShuffleProof(crs, pre, rng)
+    seq_s = time.time() - t0
+    return {
+        "proofs": k,
+        "batch_prove_s": round(batch_s, 3),
+        "sequential_prove_s": round(seq_s, 3),
+        "speedup": round(seq_s / batch_s, 2),
+    }
+
+
 def bench_sharded_msm(n, seed):
     import hashlib
 
@@ -210,8 +254,14 @@ def main():
     report["config1_ell60_shuffle"] = bench_shuffle(60, 4, seed=1)
     print("config1", json.dumps(report["config1_ell60_shuffle"]))
 
-    sizes = [1 << 12, 1 << 14] if args.quick else [1 << 12, 1 << 14, 1 << 16]
-    report["config2_msm_sweep"] = bench_msm_sweep(sizes, method="ladder")
+    sizes = (
+        [1 << 12, 1 << 14]
+        if args.quick
+        else [1 << 12, 1 << 14, 1 << 16, 1 << 18, 1 << 20]
+    )
+    report["config2_msm_sweep"] = bench_msm_sweep(
+        sizes, methods=("ladder", "stream")
+    )
     print("config2", json.dumps(report["config2_msm_sweep"]))
 
     report["config3_ell124_whisk"] = bench_shuffle(124, 4, seed=2)
@@ -222,9 +272,14 @@ def main():
     print("config4", json.dumps(report["config4_batch_verify"]))
 
     report["config5_sharded_msm"] = bench_sharded_msm(
-        1 << 14 if args.quick else 1 << 18, seed=4
+        1 << 14 if args.quick else 1 << 20, seed=4
     )
     print("config5", json.dumps(report["config5_sharded_msm"]))
+
+    report["config6_batch_prove"] = bench_batch_prove(
+        124, 4, 4 if args.quick else 16, seed=5
+    )
+    print("config6", json.dumps(report["config6_batch_prove"]))
 
     report["total_s"] = round(time.time() - t_all, 1)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "report.json")

@@ -387,21 +387,64 @@ def _stream_window_partials_routed(packed, i1, i2, i3, bidx, lidx, T: int, L: in
     return _stream_tail(g, bidx, lidx, T, L)
 
 
+@partial(jax.jit, static_argnames=("T", "L", "S", "shapes", "pack13"))
+def _stream_routed_sel_packed(
+    packed, buf, T: int, L: int, S: int, shapes, pack13: bool
+):
+    """_stream_window_partials_routed_sel with ALL index tables packed into
+    ONE flat int16 host buffer — the axon tunnel charges ~30 ms fixed
+    latency per host->device transfer (measured) and host->device traffic
+    does NOT overlap device compute, so bytes are wall time. When the route
+    column factor c <= 256, the stage-1/3 tables (entries < c) ride as one
+    byte each inside a shared int16 row (pack13). shapes is a static tuple
+    of array shapes, decoded in order."""
+    arrs = []
+    o = 0
+    for shape in shapes:
+        cnt = 1
+        for d in shape:
+            cnt *= d
+        arrs.append(jax.lax.slice(buf, (o,), (o + cnt,)).reshape(shape))
+        o += cnt
+    if pack13:
+        combo, i2, sel, bp_hi, bp_lo, lidx = arrs
+        cb = jax.lax.bitcast_convert_type(combo, jnp.uint16).astype(jnp.int32)
+        i1 = cb & 0xFF
+        i3 = cb >> 8
+    else:
+        i1, i2, i3, sel, bp_hi, bp_lo, lidx = arrs
+    # bpos spans up to T*S (> int16 at n >= 2^20), so it rides as hi/lo
+    # int15 halves; out-of-range values gather 0 (the identity triple)
+    bpos = bp_hi.astype(jnp.int32) * 32768 + bp_lo.astype(jnp.int32)
+    return _routed_sel_body(
+        packed, i1, i2, i3, sel, bpos, lidx.astype(jnp.int32), T, L, S
+    )
+
+
 @partial(jax.jit, static_argnames=("T", "L", "S"))
 def _stream_window_partials_routed_sel(
-    packed, i1, i2, i3, sel, lidx, T: int, L: int, S: int
+    packed, i1, i2, i3, sel, bpos, lidx, T: int, L: int, S: int
 ):
+    return _routed_sel_body(packed, i1, i2, i3, sel, bpos, lidx, T, L, S)
+
+
+def _routed_sel_body(packed, i1, i2, i3, sel, bpos, lidx, T: int, L: int, S: int):
     """Routed-gather streaming pipeline with in-kernel boundary selection:
-    the scan kernel emits only the B-1 bucket-boundary prefixes (host-
+    the scan kernel emits only the DISTINCT bucket-boundary prefixes (host-
     scheduled into (T, S) slots), never the full (72, wb, n) prefix vector —
-    the dominant HBM write at large n — and the n-wide boundary gather
-    disappears with it. Boundary prefixes are consumed as an unordered sum,
-    so bsums = reduce(selected local prefixes) + reduce(lane offsets)."""
+    the dominant HBM write at large n. Duplicate boundaries (empty buckets —
+    structural in the top window, where only the low digit bits vary) are
+    resolved by `bpos`: a per-boundary gather from the COMPACT (T*S)-wide
+    selected-prefix table, so a rank selected once can be consumed with any
+    multiplicity. boundary = bsel[bpos] + lane_offset[lidx], then one tree
+    reduce — same shape as the full-prefix tail, but the boundary gather
+    runs over T*S (~8k) columns instead of n (~64k+)."""
     from curdleproofs_tpu.ops import gather as ogather
     from curdleproofs_tpu.ops import stream_scan as ostream
 
     wb = i1.shape[0]
     i1, i2, i3 = (a.astype(jnp.int32) for a in (i1, i2, i3))
+    sel = sel.astype(jnp.int32)
     g = ogather.routed_gather(packed, i1, i2, i3)  # (49, wb, n)
     bsel, totals = ostream.scan_records_sel(
         g.reshape(49, wb * T * L), sel, wb, T, L, S
@@ -413,46 +456,63 @@ def _stream_window_partials_routed_sel(
         lane_scan.x[:, 0, L - 1], lane_scan.y[:, 0, L - 1], lane_scan.z[:, 0, L - 1]
     )
     lane_tab = jnp.concatenate([lane_scan.x, lane_scan.y, lane_scan.z], axis=0)
+    bl = ogather.gather_u32(bsel, bpos)  # (72, wb, B-1) local prefixes
     lo = ogather.gather_u32(lane_tab, lidx)  # (72, wb, B-1) lane offsets
-    part1 = oscan.tree_reduce_hybrid(
-        JPoints(bsel[:24], bsel[24:48], bsel[48:])
-    )  # (24, wb)
-    part2 = oscan.tree_reduce_hybrid(JPoints(lo[:24], lo[24:48], lo[48:]))
-    bsums = og.jadd(part1, part2)
+    boundary = og.jadd(
+        JPoints(bl[:24], bl[24:48], bl[48:]), JPoints(lo[:24], lo[24:48], lo[48:])
+    )
+    bsums = oscan.tree_reduce_hybrid(boundary)  # (24, wb)
     return total, bsums
 
 
-# boundary-selection slot capacity per scan step; mean occupancy is
-# (B-1)/T (~32 at the operating points: L=512, c=12), so 64 gives 2x
-# headroom while halving the (wb, T*S) selected-prefix tree-reduce — the
-# second-largest group-add cost after the scan itself. Host falls back to
-# the full-prefix path when any (window, step) overflows (possible only
-# for adversarially concentrated digit distributions).
-SEL_SLOTS = 64
+# boundary-selection slot capacity per scan step. DISTINCT ranks per cell
+# have mean occupancy (B-1)/T (~32 at the operating points: L=512, c=12;
+# measured max 55 for uniform scalars at n=2^16), so 128 gives ample
+# headroom at a Mosaic-friendly lane width; since multiplicity moved to the
+# compact bpos gather, S only sizes the kernel output and that gather.
+# Host falls back to the full-prefix path when any (window, step) cell
+# overflows (adversarially concentrated digit distributions).
+SEL_SLOTS = 128
 
 
-def _build_sel(e: np.ndarray, T: int, S: int) -> Optional[np.ndarray]:
-    """Schedule boundary ranks into per-step selection slots.
+def _build_sel(e: np.ndarray, T: int, S: int):
+    """Schedule DISTINCT boundary ranks into per-step selection slots.
 
-    e (W, B-1) int64 boundary ranks (-1 = empty bucket, skipped: it
-    contributes the identity). Returns (W*T, S) int32 lane ids (-1 = empty
-    slot) or None if any (window, step) needs more than S slots."""
-    W = e.shape[0]
+    A boundary at sorted rank e is only observable at scan step e % T (its
+    offset inside its lane's block), so the step is forced; what we control
+    is deduplication — empty buckets repeat the previous boundary rank
+    (thousands of times in the top window, whose digits only span the
+    leftover high bits), and scheduling each distinct rank ONCE keeps the
+    per-cell occupancy near (B-1)/T. Multiplicity is reinstated downstream
+    by the `bpos` gather from the compact selected-prefix table.
+
+    e (W, B-1) int64 boundary ranks (-1 = empty prefix, contributes the
+    identity). Returns (sel (W*T, S) int32 lane ids (-1 = empty slot),
+    bpos (W, B-1) int32 per-boundary flat positions t*S + slot into the
+    per-window (T*S) selected table, -1 for e < 0), or (None, None) if any
+    (window, step) needs more than S slots."""
+    W, Bm1 = e.shape
     sel = np.full((W * T, S), -1, np.int32)
+    bpos = np.full((W, Bm1), -1, np.int32)
     for w in range(W):
-        ev = e[w][e[w] >= 0]
-        if ev.size == 0:
+        valid = e[w] >= 0
+        ranks = e[w][valid].astype(np.int64)
+        if ranks.size == 0:
             continue
-        t_e = (ev % T).astype(np.int64)
-        l_e = (ev // T).astype(np.int32)
-        o = np.argsort(t_e, kind="stable")
-        ts, ls = t_e[o], l_e[o]
+        uniq, inv = np.unique(ranks, return_inverse=True)
+        ut = uniq % T
+        ul = (uniq // T).astype(np.int32)
+        o = np.argsort(ut, kind="stable")
+        ts = ut[o]
         starts = np.searchsorted(ts, np.arange(T))
-        slot = np.arange(ts.size) - starts[ts]
-        if slot.size and slot.max() >= S:
-            return None
-        sel[w * T + ts, slot] = ls
-    return sel
+        slot_sorted = np.arange(ts.size) - starts[ts]
+        if slot_sorted.size and slot_sorted.max() >= S:
+            return None, None
+        slot = np.empty(ts.size, np.int64)
+        slot[o] = slot_sorted
+        sel[w * T + ut, slot] = ul
+        bpos[w, valid] = (ut * S + slot).astype(np.int32)[inv]
+    return sel, bpos
 
 
 def _stream_tail(g, bidx, lidx, T: int, L: int):
@@ -568,7 +628,9 @@ def _msm_stream_impl(
         routed = n >= ROUTE_MIN_N
     # in-kernel boundary selection (skips the full prefix write): routed
     # path only; falls back when a (window, step) cell overflows SEL_SLOTS
-    sel_all = _build_sel(e, T, SEL_SLOTS) if routed else None
+    sel_all, bpos_all = (
+        _build_sel(e, T, SEL_SLOTS) if routed else (None, None)
+    )
     if window_batch is None:
         if routed:
             # small chunks PIPELINE host routing solves (~18 ms/window,
@@ -633,6 +695,7 @@ def _msm_stream_impl(
             i3 = np.concatenate([p[2] for p in parts])
             if sel_all is not None:
                 sc_ = sel_all[w0 * T : (w0 + window_batch) * T]
+                bp_ = bpos_all[sl]
                 if sc_.shape[0] != window_batch * T:
                     sc_ = np.concatenate(
                         [
@@ -644,16 +707,41 @@ def _msm_stream_impl(
                             ),
                         ]
                     )
-                total, bsums = _stream_window_partials_routed_sel(
-                    packed,
-                    jnp.asarray(i1),
-                    jnp.asarray(i2),
-                    jnp.asarray(i3),
-                    jnp.asarray(sc_),
-                    jnp.asarray(lc),
-                    T,
-                    L,
-                    SEL_SLOTS,
+                    bp_ = np.concatenate(
+                        [
+                            bp_,
+                            np.full(
+                                (window_batch - bp_.shape[0], B - 1),
+                                -1,
+                                np.int32,
+                            ),
+                        ]
+                    )
+                # ONE flat int16 buffer per chunk: the tunnel's ~30 ms
+                # fixed per-transfer latency dominates six small arrays.
+                # bpos may exceed int16 range -> hi/lo int15 halves, with
+                # empty (-1) encoded as the out-of-range T*S (gathers 0)
+                bp_enc = np.where(bp_ >= 0, bp_, T * SEL_SLOTS)
+                pack13 = rc <= 256  # stage-1/3 entries < c fit one byte
+                if pack13:
+                    combo = (
+                        i1.astype(np.uint16) | (i3.astype(np.uint16) << 8)
+                    ).view(np.int16)
+                    idx_parts = (combo, i2)
+                else:
+                    idx_parts = (i1, i2, i3)
+                parts = idx_parts + (
+                    sc_,
+                    (bp_enc >> 15).astype(np.int16),
+                    (bp_enc & 0x7FFF).astype(np.int16),
+                    lc,
+                )
+                shapes = tuple(tuple(p.shape) for p in parts)
+                buf = np.concatenate(
+                    [p.astype(np.int16).ravel() for p in parts]
+                )
+                total, bsums = _stream_routed_sel_packed(
+                    packed, jnp.asarray(buf), T, L, SEL_SLOTS, shapes, pack13
                 )
             else:
                 total, bsums = _stream_window_partials_routed(

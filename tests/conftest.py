@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("CURDLEPROOFS_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+# else: run on the environment's real backend (the axon TPU tunnel) — used
+# by the `-m tpu` hardware subset, whose captured log is committed as
+# TPU_TESTLOG.txt (on-hardware correctness evidence beyond bench.py's
+# single spot check)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
