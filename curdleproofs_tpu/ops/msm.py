@@ -21,6 +21,7 @@ point ops, done on host in exact arithmetic.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, Optional, Sequence
 
@@ -598,6 +599,15 @@ def _msm_stream_impl(
 ) -> G1:
     from curdleproofs_tpu.ops.stream_scan import pick_lanes
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    _trace = bool(os.environ.get("CURDLEPROOFS_STREAM_TRACE"))
+
+    def _dbg(tag):
+        if _trace:
+            print(f"[stream +{(_time.perf_counter() - _t0) * 1e3:7.1f}ms] {tag}")
+
     n_in = points.x.shape[-1]
     m = 128  # Mosaic lane-tile floor; production sizes use 512-lane tiles
     while m < n_in:
@@ -622,7 +632,9 @@ def _msm_stream_impl(
 
     # --- host: digits, per-window argsort, boundary/lane index prep -------
     digits = host_digits(scalars_np, c)  # (W, n) uint16
+    _dbg("digits")
     order_cm, bidx, lidx, e = stream_host_prep(digits, c, L)
+    _dbg("argsort+prep")
 
     if routed is None:
         routed = n >= ROUTE_MIN_N
@@ -631,13 +643,15 @@ def _msm_stream_impl(
     sel_all, bpos_all = (
         _build_sel(e, T, SEL_SLOTS) if routed else (None, None)
     )
+    _dbg("build_sel")
     if window_batch is None:
         if routed:
-            # small chunks PIPELINE host routing solves (~18 ms/window,
+            # two chunks: pipelines host routing solves (~18 ms/window,
             # background threads) and index-table transfers against device
-            # execution of earlier chunks; VMEM is not the binding
-            # constraint on this path
-            window_batch = max(1, min(W, 8))
+            # execution of the first chunk while paying the fewest fixed
+            # dispatch/transfer latencies (measured best at 2^16: wb=11
+            # 0.652 s vs wb=8 0.702 s vs wb=22 0.948 s)
+            window_batch = max(1, min(W, (W + 1) // 2))
         else:
             # per-chunk live set: gathered records + full prefix table:
             # ~500 u32 rows per lane
@@ -690,6 +704,7 @@ def _msm_stream_impl(
             lc = np.concatenate([lc, np.full((pad, B - 1), -1, np.int32)])
         if routed:
             parts = [f.result() for f in route_futs[w0 : w0 + window_batch]]
+            _dbg(f"chunk {w0}: solves ready")
             i1 = np.concatenate([p[0] for p in parts])
             i2 = np.concatenate([p[1] for p in parts])
             i3 = np.concatenate([p[2] for p in parts])
@@ -740,9 +755,11 @@ def _msm_stream_impl(
                 buf = np.concatenate(
                     [p.astype(np.int16).ravel() for p in parts]
                 )
+                _dbg(f"chunk {w0}: packed ({buf.nbytes >> 10} KB)")
                 total, bsums = _stream_routed_sel_packed(
                     packed, jnp.asarray(buf), T, L, SEL_SLOTS, shapes, pack13
                 )
+                _dbg(f"chunk {w0}: dispatched")
             else:
                 total, bsums = _stream_window_partials_routed(
                     packed,
@@ -764,7 +781,10 @@ def _msm_stream_impl(
     bsums_host: List[G1] = []
     for _, bsums in pending:
         bsums_host.extend(og.jpoints_to_host(bsums))
-    return _combine_windows_host(total_host, bsums_host[:W], c, W)
+    _dbg("materialized")
+    res = _combine_windows_host(total_host, bsums_host[:W], c, W)
+    _dbg("combined")
+    return res
 
 
 def ladder_point_ops(n: int) -> int:

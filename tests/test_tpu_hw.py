@@ -64,14 +64,34 @@ def test_ladder_msm_oracle(inputs):
     assert got == expect
 
 
-def test_stream_routed_msm_oracle(inputs):
+def test_stream_routed_msm_oracle():
+    from curdleproofs_tpu.curve import G1, msm_host
+    from curdleproofs_tpu.fields import FR_MOD, Fr
+    from curdleproofs_tpu.ops import g1 as og
     from curdleproofs_tpu.ops import msm as omsm
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
 
-    _, _, packed, sc_np, expect = inputs
-    # c=8: B-1=255 boundaries over T=8 steps keeps the boundary-selection
-    # scheduler in range at this size; routed gather forced on
-    got = omsm.msm_pippenger_stream(packed, sc_np, c=8, routed=True)
-    assert got == expect
+    # routed gather needs n >= 128^2 (Mosaic 128-lane tile floor on both
+    # route factors); spot-check the full routed+sel pipeline at 2^14
+    n = 1 << 14
+    pts, acc, step = [], G1(), G1() * Fr(11)
+    for _ in range(n):
+        pts.append(acc)
+        acc = acc + step
+    scs = [
+        Fr(
+            int.from_bytes(hashlib.sha256(f"r{i}".encode()).digest(), "little")
+            % FR_MOD
+        )
+        for i in range(n)
+    ]
+    scs[5] = Fr(0)
+    sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
+    # c=10: (B-1)/T = 32 mean boundary-selection occupancy — certifies the
+    # production routed+sel pipeline (c=12 at this n overflows the
+    # scheduler and would exercise only the full-prefix fallback)
+    got = omsm.msm_pippenger_stream(og.pack_points(pts), sc_np, c=10, routed=True)
+    assert got == msm_host(pts, scs)
 
 
 def test_stream_direct_msm_oracle(inputs):
