@@ -126,6 +126,28 @@ def test_proof_serde_round_trip(shuffle_instance):
     assert vi2.vec_R == vec_R and vi2.M == M
 
 
+def test_serde_full_json_flow(shuffle_instance):
+    """The reference's test_serde flow (test_curdleproofs.py:673-733):
+    serialize CRS + proof + VerifierInput to JSON, deserialize all three,
+    and verify the DESERIALIZED proof against the DESERIALIZED crs/statement
+    — proving the JSON layer is lossless end to end, not just per object."""
+    crs, vec_R, vec_S, vec_T, vec_U, M, proof = shuffle_instance
+    vi = VerifierInput(vec_R, vec_S, vec_T, vec_U, M)
+
+    deser_proof = CurdleProofsProof.from_json(proof.to_json())
+    deser_crs = CurdleproofsCrs.from_json(crs.to_json())
+    deser_vi = VerifierInput.from_json(vi.to_json())
+
+    deser_proof.verify(
+        deser_crs,
+        deser_vi.vec_R,
+        deser_vi.vec_S,
+        deser_vi.vec_T,
+        deser_vi.vec_U,
+        deser_vi.M,
+    )
+
+
 def test_batched_verification(shuffle_instance):
     from curdleproofs_tpu.models.shuffle import verify_shuffle_proofs
 
