@@ -29,7 +29,32 @@ if os.environ.get("BENCH_UNROLL"):
     os.environ["CURDLEPROOFS_LIMB_UNROLL"] = os.environ["BENCH_UNROLL"]
 
 
+def ensure_native():
+    """Build the in-tree C backends if this environment hasn't yet.
+
+    Without them the host curve ops and the Benes route solver fall back to
+    pure Python (~13x slower whisk latencies, ~30x slower stream MSM route
+    solves) — a fresh checkout must not be benchmarked in that state."""
+    try:
+        import curdleproofs_tpu._g1_native  # noqa: F401
+        import curdleproofs_tpu._keccak_native  # noqa: F401
+        import curdleproofs_tpu._route_native  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    subprocess.run(
+        [sys.executable, "setup.py", "build_ext", "--inplace"],
+        cwd=here,
+        check=True,
+        capture_output=True,
+    )
+
+
 def main():
+    ensure_native()
     import jax
     import numpy as np
 
