@@ -889,6 +889,48 @@ static PyObject *py_subgroup_check(PyObject *self, PyObject *args) {
     return PyLong_FromLong(bad);
 }
 
+
+/* glv_decompose_batch(scalars32_le*n) -> (k1_24le*n, neg1_u8*n, k2_24le*n):
+ * batched Babai-rounding GLV split k = (-1)^neg1*|k1| + k2*lambda (mod r);
+ * |k1| < 2^130, 0 <= k2 <= lambda, each emitted as 3 LE u64 limbs. Host
+ * twin of curdleproofs_tpu/ops/glv.py:decompose (the numpy fallback). */
+static PyObject *py_glv_decompose_batch(PyObject *self, PyObject *args) {
+    Py_buffer bs;
+    if (!PyArg_ParseTuple(args, "y*", &bs)) return NULL;
+    if (bs.len % 32) {
+        PyBuffer_Release(&bs);
+        return value_error("glv_decompose_batch: buffer length % 32");
+    }
+    size_t n = (size_t)bs.len / 32;
+    PyObject *o1 = PyBytes_FromStringAndSize(NULL, 24 * n);
+    PyObject *on = PyBytes_FromStringAndSize(NULL, n);
+    PyObject *o2 = PyBytes_FromStringAndSize(NULL, 24 * n);
+    if (!o1 || !on || !o2) {
+        Py_XDECREF(o1); Py_XDECREF(on); Py_XDECREF(o2);
+        PyBuffer_Release(&bs);
+        return NULL;
+    }
+    uint8_t *p1 = (uint8_t *)PyBytes_AS_STRING(o1);
+    uint8_t *pn = (uint8_t *)PyBytes_AS_STRING(on);
+    uint8_t *p2 = (uint8_t *)PyBytes_AS_STRING(o2);
+    const uint8_t *sb = (const uint8_t *)bs.buf;
+    Py_BEGIN_ALLOW_THREADS
+    for (size_t i = 0; i < n; i++) {
+        u64 k[4], k1[3], k2[3];
+        int neg;
+        load_scalar(k, sb + 32 * i);
+        glv_decompose(k, &neg, k1, k2);
+        memcpy(p1 + 24 * i, k1, 24);
+        memcpy(p2 + 24 * i, k2, 24);
+        pn[i] = (uint8_t)neg;
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&bs);
+    PyObject *ret = Py_BuildValue("(OOO)", o1, on, o2);
+    Py_DECREF(o1); Py_DECREF(on); Py_DECREF(o2);
+    return ret;
+}
+
 static PyMethodDef Methods[] = {
     {"msm", py_msm, METH_VARARGS,
      "msm(points96, inf_flags, scalars32_le) -> (affine96, inf)"},
@@ -905,6 +947,8 @@ static PyMethodDef Methods[] = {
      "jacobian_to_affine_batch(xyz144*n) -> (affine96*n, inf*n)"},
     {"subgroup_check_batch", py_subgroup_check, METH_VARARGS,
      "subgroup_check_batch(points96, inf) -> first bad index or -1"},
+    {"glv_decompose_batch", py_glv_decompose_batch, METH_VARARGS,
+     "glv_decompose_batch(scalars32_le) -> (k1_24le*n, neg1*n, k2_24le*n)"},
     {NULL, NULL, 0, NULL},
 };
 
