@@ -87,12 +87,13 @@ def main():
     c = int(os.environ.get("BENCH_C", omsm.pick_window(n)))
     W = -(-255 // c)
     method = os.environ.get("BENCH_METHOD", "stream")
+    wb = int(os.environ["BENCH_WB"]) if os.environ.get("BENCH_WB") else None
 
     def run_with(sv, sv_np):
         if method == "ladder":
             return omsm.msm_ladder(points, sv)
         if method == "stream":
-            return omsm.msm_pippenger_stream(points, sv_np, c=c)
+            return omsm.msm_pippenger_stream(points, sv_np, c=c, window_batch=wb)
         if method == "hostsort":
             return omsm.msm_pippenger_hostsort(points, sv_np, c=c)
         return omsm.msm_pippenger(points, sv, c=c)

@@ -301,6 +301,23 @@ def _to_affine_jit(p: JPoints) -> APoints:
     return to_affine(p)
 
 
+@_jax.jit
+def _pack72(x, y, z):
+    return jnp.concatenate([x, y, z], axis=0)
+
+
+def jpoints_to_host_packed(p: JPoints) -> List[G1]:
+    """jpoints_to_host via ONE host transfer instead of three.
+
+    np.asarray(x), np.asarray(y), np.asarray(z) are three separate device
+    round trips; the axon tunnel charges ~29 ms fixed latency per transfer,
+    so for the handful-of-points results every MSM ends with (window totals,
+    bucket sums) the latency dominates the bytes 1000x. One device-side
+    concat -> one (72, ...) transfer."""
+    arr = np.asarray(_pack72(p.x, p.y, p.z))
+    return jpoints_to_host(JPoints(arr[:24], arr[24:48], arr[48:]))
+
+
 def jpoints_to_host(p: JPoints) -> List[G1]:
     """Normalize Jacobian device points ((24,) or (24, n)) to host G1.
 

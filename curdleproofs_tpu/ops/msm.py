@@ -203,11 +203,12 @@ def _msm_pippenger_impl(
 # ---------------------------------------------------------------------------
 
 
-def host_digits(scalars: np.ndarray, c: int) -> np.ndarray:
-    """numpy twin of extract_digits: (16, n) limbs -> (W, n) uint16 digits."""
+def host_digits(scalars: np.ndarray, c: int, bits: int = FR_BITS) -> np.ndarray:
+    """numpy twin of extract_digits: (L16, n) limbs -> (W, n) uint16 digits
+    with W = ceil(bits / c) (bits < 16 * rows(scalars) + 1)."""
     if not 1 <= c <= 16:
         raise ValueError("window size must be in [1, 16]")
-    W = -(-FR_BITS // c)
+    W = -(-bits // c)
     s = np.concatenate(
         [scalars.astype(np.uint32), np.zeros((2,) + scalars.shape[1:], np.uint32)]
     )
@@ -314,8 +315,7 @@ def _msm_hostsort_impl(
         [points.x, points.y, points.inf[None].astype(jnp.uint32)], axis=0
     )
 
-    total_host: Optional[G1] = None
-    bsums_host: List[G1] = []
+    pending = []
     for w0 in range(0, W, window_batch):
         ordc = order[w0 : w0 + window_batch]
         ec = e[w0 : w0 + window_batch]
@@ -329,10 +329,13 @@ def _msm_hostsort_impl(
         total, bsums = _hostsort_window_partials(
             packed, jnp.asarray(ordc), jnp.asarray(ec), jnp.asarray(mc), c
         )
-        if total_host is None:
-            total_host = og.jpoints_to_host(total)[0]
-        bsums_host.extend(og.jpoints_to_host(bsums))
-    return _combine_windows_host(total_host, bsums_host[:W], c, W)
+        pending.append((total, bsums))
+    xs = [pending[0][0].x] + [b.x for _, b in pending]
+    ys = [pending[0][0].y] + [b.y for _, b in pending]
+    zs = [pending[0][0].z] + [b.z for _, b in pending]
+    arr = np.asarray(_pack_stream_results(tuple(xs), tuple(ys), tuple(zs)))
+    pts = og.jpoints_to_host(JPoints(arr[:24], arr[24:48], arr[48:]))
+    return _combine_windows_host(pts[0], pts[1 : 1 + W], c, W)
 
 
 # ---------------------------------------------------------------------------
@@ -345,15 +348,56 @@ def _msm_hostsort_impl(
 # ---------------------------------------------------------------------------
 
 
+# GLV endomorphism split inside the stream engine (see _msm_stream_impl):
+# halves the window count for the same scan work. Default on; kill switch
+# for A/B measurement and for exercising the non-split path in tests.
+STREAM_GLV = os.environ.get("CURDLEPROOFS_STREAM_GLV", "1") == "1"
+GLV_STREAM_MIN_N = 128  # below this, decompose/packing overhead dominates
+
+
 def stream_point_ops(n: int, c: int) -> int:
     """Group adds executed per MSM by the streaming host-sorted Pippenger:
-    n mixed adds + ~2 log2(L)*L lane-offset adds + 2(B-1) boundary/reduce
-    adds per window, + the 255-op host window combine."""
-    W = -(-FR_BITS // c)
+    one mixed add per record + ~2 log2(L)*L lane-offset adds + 2(B-1)
+    boundary/reduce adds per window, + the host window combine. With the
+    GLV split the records double (2n lanes) but W halves."""
     from curdleproofs_tpu.ops.stream_scan import pick_lanes
 
-    L = pick_lanes(n)
-    return W * (n + 2 * L.bit_length() * L + 2 * (1 << c)) + 255
+    m = 128
+    while m < n:
+        m *= 2
+    if STREAM_GLV and m >= GLV_STREAM_MIN_N:
+        W = -(-130 // c)
+        n_eff = 2 * m
+    else:
+        W = -(-FR_BITS // c)
+        n_eff = m
+    L = pick_lanes(n_eff)
+    return W * (n_eff + 2 * L.bit_length() * L + 2 * (1 << c)) + W * c + W
+
+
+@jax.jit
+def _glv_stream_packed(px, py, pinf, neg1):
+    """Lane-doubled stream records for the GLV split: [sgn(neg1)·P | phi(P)]
+    with phi(x, y) = (beta·x, y) and sgn negating y where s1 was negative.
+    (24, n) Montgomery affine coords -> (49, 2n) packed records. Identity
+    lanes ride on the inf flag (their 0-coords map to 0 under both ops)."""
+    from curdleproofs_tpu.ops import modarith as ma
+    from curdleproofs_tpu.ops.fieldspec import FQ_SPEC
+    from curdleproofs_tpu.ops.pallas_g1 import _beta_mont_limbs
+
+    beta = jnp.broadcast_to(
+        jnp.asarray(_beta_mont_limbs(), dtype=jnp.uint32).reshape(24, 1), px.shape
+    )
+    y1 = ma.select(neg1, ma.neg(FQ_SPEC, py), py)
+    x2 = ma.mont_mul(FQ_SPEC, px, beta)
+    infu = pinf[None].astype(jnp.uint32)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([px, y1, infu], axis=0),
+            jnp.concatenate([x2, py, infu], axis=0),
+        ],
+        axis=1,
+    )
 
 
 @partial(jax.jit, static_argnames=("T", "L"))
@@ -466,13 +510,17 @@ def _routed_sel_body(packed, i1, i2, i3, sel, bpos, lidx, T: int, L: int, S: int
     return total, bsums
 
 
-# boundary-selection slot capacity per scan step. DISTINCT ranks per cell
-# have mean occupancy (B-1)/T (~32 at the operating points: L=512, c=12;
-# measured max 55 for uniform scalars at n=2^16), so 128 gives ample
-# headroom at a Mosaic-friendly lane width; since multiplicity moved to the
-# compact bpos gather, S only sizes the kernel output and that gather.
-# Host falls back to the full-prefix path when any (window, step) cell
-# overflows (adversarially concentrated digit distributions).
+# boundary-selection slot capacities per scan step, tried smallest first.
+# DISTINCT ranks per cell have mean occupancy (B-1)/T (~32 at L=512, c=12,
+# n=2^16 non-split; ~16 with the GLV split's doubled T; measured max 55 /
+# 32 for uniform scalars). 128 is the Mosaic floor (the sel kernel's output
+# block is (72, 1, S): last dim must be a multiple of 128), so 128 is the
+# everyday shape; escalating to 256 rescues concentrated digit
+# distributions that would previously have hit the full-prefix fallback.
+# S only sizes the kernel output and the compact bpos gather —
+# multiplicity lives in the bpos gather. Each S is a distinct compiled
+# kernel shape, so the options list stays short.
+SEL_SLOT_OPTIONS = (128, 256)
 SEL_SLOTS = 128
 
 
@@ -571,6 +619,17 @@ def stream_host_prep(digits: np.ndarray, c: int, L: int):
     return order_cm, bidx, lidx, e
 
 
+@jax.jit
+def _pack_stream_results(xs, ys, zs):
+    """Concat ((24,) | (24, k)) coordinate groups into one (72, K) array so
+    the stream tail materializes with a single host transfer."""
+
+    def cat(parts):
+        return jnp.concatenate([p.reshape(24, -1) for p in parts], axis=-1)
+
+    return jnp.concatenate([cat(xs), cat(ys), cat(zs)], axis=0)
+
+
 def msm_pippenger_stream(
     points: APoints,
     scalars: np.ndarray,
@@ -625,42 +684,51 @@ def _msm_stream_impl(
             [scalars_np, np.zeros((16, m - n_in), np.uint32)], axis=-1
         )
     n = m
-    W = -(-FR_BITS // c)
     B = 1 << c
+    # GLV endomorphism split (CURDLEPROOFS_STREAM_GLV=0 disables): each
+    # 255-bit scalar becomes two <=129-bit halves k = (-1)^neg*s1 + s2*lam,
+    # the lane set doubles to [+-P | phi(P)], and W halves (22 -> 11 at
+    # c=12). Scan work is unchanged (W*n records either way) but every
+    # per-window cost — bucket-boundary stitch, tree reduce, index-table
+    # bytes, host window combine — halves with W.
+    glv_split = STREAM_GLV and n >= GLV_STREAM_MIN_N
+    if glv_split:
+        from curdleproofs_tpu.ops import glv as oglv
+
+        s1, neg1, s2 = oglv.decompose(scalars_np.astype(np.uint64))
+        _dbg("glv decompose")
+        digits = host_digits(
+            np.concatenate([s1, s2], axis=1).astype(np.uint32), c, bits=130
+        )  # (ceil(130/c), 2n) — |s1| < 2^129 plus one bit of headroom
+        n *= 2
+    else:
+        digits = host_digits(scalars_np, c)  # (W, n) uint16
+    W = digits.shape[0]
     L = pick_lanes(n)
     T = n // L
-
-    # --- host: digits, per-window argsort, boundary/lane index prep -------
-    digits = host_digits(scalars_np, c)  # (W, n) uint16
     _dbg("digits")
     order_cm, bidx, lidx, e = stream_host_prep(digits, c, L)
     _dbg("argsort+prep")
 
     if routed is None:
         routed = n >= ROUTE_MIN_N
-    # in-kernel boundary selection (skips the full prefix write): routed
-    # path only; falls back when a (window, step) cell overflows SEL_SLOTS
-    sel_all, bpos_all = (
-        _build_sel(e, T, SEL_SLOTS) if routed else (None, None)
-    )
-    _dbg("build_sel")
     if window_batch is None:
         if routed:
-            # two chunks: pipelines host routing solves (~18 ms/window,
-            # background threads) and index-table transfers against device
-            # execution of the first chunk while paying the fewest fixed
-            # dispatch/transfer latencies (measured best at 2^16: wb=11
-            # 0.652 s vs wb=8 0.702 s vs wb=22 0.948 s)
-            window_batch = max(1, min(W, (W + 1) // 2))
+            # three chunks: the 2-core host works through route solves at
+            # ~2 per step, so smaller chunks let the first dispatch start
+            # after fewer solves while later solves/transfers pipeline
+            # against device execution (measured best at 2^16 GLV W=11:
+            # wb=4 0.569 s vs wb=6 0.596 s vs wb=11 0.654 s; the single-
+            # readback tail removed most of the former per-chunk cost)
+            window_batch = max(1, min(W, (W + 2) // 3))
         else:
             # per-chunk live set: gathered records + full prefix table:
             # ~500 u32 rows per lane
             window_batch = max(1, min(W, (1 << 22) // max(n, 1)))
 
-    packed = jnp.concatenate(
-        [points.x, points.y, points.inf[None].astype(jnp.uint32)], axis=0
-    )
-
+    # route solves are the chunk-0 critical path (the 2-core bench host
+    # works through them at ~2/step): submit them BEFORE the remaining
+    # host prep so build_sel / packing / transfers overlap the solves
     route_futs = None
     if routed:
         # factor every window's sort permutation into 3-stage routing tables
@@ -689,6 +757,27 @@ def _msm_stream_impl(
         ]
         pool.shutdown(wait=False)
 
+    # in-kernel boundary selection (skips the full prefix write): routed
+    # path only; S adapts to the smallest slot option that fits, and falls
+    # back to the full-prefix path when even the largest overflows
+    sel_all = bpos_all = None
+    S = SEL_SLOTS
+    if routed:
+        for S in SEL_SLOT_OPTIONS:
+            sel_all, bpos_all = _build_sel(e, T, S)
+            if sel_all is not None:
+                break
+    _dbg(f"build_sel (S={S})")
+
+    if glv_split:
+        packed = _glv_stream_packed(
+            points.x, points.y, points.inf, jnp.asarray(neg1)
+        )
+    else:
+        packed = jnp.concatenate(
+            [points.x, points.y, points.inf[None].astype(jnp.uint32)], axis=0
+        )
+
     pending = []  # (total, bsums) DEVICE handles; dispatches stay async so
     # chunk k+1's host prep/transfers overlap chunk k's device execution
     for w0 in range(0, W, window_batch):
@@ -716,7 +805,7 @@ def _msm_stream_impl(
                         [
                             sc_,
                             np.full(
-                                (window_batch * T - sc_.shape[0], SEL_SLOTS),
+                                (window_batch * T - sc_.shape[0], S),
                                 -1,
                                 np.int32,
                             ),
@@ -736,7 +825,7 @@ def _msm_stream_impl(
                 # fixed per-transfer latency dominates six small arrays.
                 # bpos may exceed int16 range -> hi/lo int15 halves, with
                 # empty (-1) encoded as the out-of-range T*S (gathers 0)
-                bp_enc = np.where(bp_ >= 0, bp_, T * SEL_SLOTS)
+                bp_enc = np.where(bp_ >= 0, bp_, T * S)
                 pack13 = rc <= 256  # stage-1/3 entries < c fit one byte
                 if pack13:
                     combo = (
@@ -757,7 +846,7 @@ def _msm_stream_impl(
                 )
                 _dbg(f"chunk {w0}: packed ({buf.nbytes >> 10} KB)")
                 total, bsums = _stream_routed_sel_packed(
-                    packed, jnp.asarray(buf), T, L, SEL_SLOTS, shapes, pack13
+                    packed, jnp.asarray(buf), T, L, S, shapes, pack13
                 )
                 _dbg(f"chunk {w0}: dispatched")
             else:
@@ -777,10 +866,16 @@ def _msm_stream_impl(
             )
         pending.append((total, bsums))
 
-    total_host = og.jpoints_to_host(pending[0][0])[0]
-    bsums_host: List[G1] = []
-    for _, bsums in pending:
-        bsums_host.extend(og.jpoints_to_host(bsums))
+    # ONE readback for everything: the tunnel charges ~29 ms fixed latency
+    # per host transfer and jpoints_to_host alone is three of them, so the
+    # total + every chunk's bucket sums ride home in a single (72, 1+K)
+    # array (bytes are trivial; the latency was the cost)
+    xs = [pending[0][0].x] + [b.x for _, b in pending]
+    ys = [pending[0][0].y] + [b.y for _, b in pending]
+    zs = [pending[0][0].z] + [b.z for _, b in pending]
+    arr = np.asarray(_pack_stream_results(tuple(xs), tuple(ys), tuple(zs)))
+    pts = og.jpoints_to_host(JPoints(arr[:24], arr[24:48], arr[48:]))
+    total_host, bsums_host = pts[0], pts[1:]
     _dbg("materialized")
     res = _combine_windows_host(total_host, bsums_host[:W], c, W)
     _dbg("combined")
@@ -825,7 +920,7 @@ def msm_ladder(points: APoints, scalars: jnp.ndarray) -> G1:
             )
         else:
             res = _msm_ladder_device(points, scalars)
-        return og.jpoints_to_host(res)[0]
+        return og.jpoints_to_host_packed(res)[0]
 
 
 @jax.jit
@@ -874,7 +969,7 @@ def msm_ladder_segmented(
             )
         else:
             res = _ladder_segmented_xla(points, jnp.asarray(scalars_np), K)
-        return og.jpoints_to_host(res)
+        return og.jpoints_to_host_packed(res)
 
 
 @partial(jax.jit, static_argnames=("K",))

@@ -239,3 +239,33 @@ def test_stream_scan_pallas_interpret(monkeypatch):
     want_p, want_t = ostream._scan_records_xla(rec, W, T, L)
     assert (np.asarray(got_p) == np.asarray(want_p)).all()
     assert (np.asarray(got_t) == np.asarray(want_t)).all()
+
+
+def test_msm_stream_glv_split_matches_oracle(monkeypatch):
+    """GLV-split streaming path (lane doubling, W halved) vs both the
+    non-split stream and the host oracle, including the decomposition's
+    clamp corner (k near r-1 -> s1 positive up to 1.51*lambda) and the
+    lambda boundaries."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+    from curdleproofs_tpu.ops.glv import LAMBDA
+
+    n = 60  # pads to 128 = GLV_STREAM_MIN_N
+    pts = rand_points(n - 3) + [G1.identity(), G1()] + [G1() * Fr(3)]
+    scs = rand_scalars(n - 6) + [
+        Fr(0),
+        Fr(1),
+        Fr(FR_MOD - 1),
+        Fr(LAMBDA),
+        Fr(LAMBDA + 1),
+        Fr(LAMBDA - 1),
+    ]
+    sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
+    want = msm_host(pts, scs)
+    monkeypatch.setattr(omsm, "STREAM_GLV", True)
+    got_glv = omsm.msm_pippenger_stream(og.pack_points(pts), sc_np, c=8)
+    assert got_glv == want
+    monkeypatch.setattr(omsm, "STREAM_GLV", False)
+    got_plain = omsm.msm_pippenger_stream(og.pack_points(pts), sc_np, c=8)
+    assert got_plain == want
