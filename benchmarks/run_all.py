@@ -235,12 +235,29 @@ def bench_sharded_msm(n, seed):
         for i in range(n)
     ]
     mesh = make_mesh(d)
+    from curdleproofs_tpu.parallel.msm import msm_sharded_stream
+
     r0 = msm_sharded_ladder(pts, scs, mesh=mesh)  # warmup
     t0 = time.time()
     r1 = msm_sharded_ladder(pts, scs, mesh=mesh)
     dt = time.time() - t0
     assert r0 == r1
-    return {"n": n, "devices": d, "wall_s": round(dt, 4)}
+    out = {"n": n, "devices": d, "wall_s": round(dt, 4), "method": "sharded_ladder"}
+    if d > 1:
+        # per-shard streaming pipeline: only meaningful (and within chip
+        # memory limits) when the point axis is actually partitioned — the
+        # 1-device degenerate case is a full-width single dispatch that
+        # exceeds the chip's memory at n=2^20 (the plain stream engine
+        # chunks windows instead; see config2 for its single-chip numbers)
+        rs0 = msm_sharded_stream(pts, scs, mesh=mesh)  # warmup
+        assert rs0 == r0
+        t0 = time.time()
+        rs1 = msm_sharded_stream(pts, scs, mesh=mesh)
+        dts = time.time() - t0
+        assert rs1 == r0
+        out["stream_wall_s"] = round(dts, 4)
+        out["method"] = "sharded_stream"
+    return out
 
 
 def main():

@@ -113,15 +113,24 @@ def GenerateWhiskShuffleProofs(
     rng: Optional[ProofRng] = None,
 ) -> List[Tuple[List[WhiskTracker], WhiskShuffleProofBytes]]:
     """Batch *proving* (framework extension; SURVEY §2.3 batch parallelism):
-    K independent shuffle proofs over the same CRS run in lockstep worker
-    threads, every protocol point-op coalescing across the batch into one
-    merged dispatch (utils.lockstep) — on TPU the MSMs of K=64 ell=124
-    provers become 64x128-lane ladder batches. Per-proof randomness is
+    K independent shuffle proofs over the same CRS. Per-proof randomness is
     derived via rng.spawn() in batch order, so a seeded rng stays
     deterministic regardless of thread scheduling. Results match K
     sequential GenerateWhiskShuffleProof calls semantically (each proof
-    verifies independently)."""
-    from curdleproofs_tpu.utils.lockstep import run_lockstep
+    verifies independently).
+
+    Two strategies (CURDLEPROOFS_BATCH_PROVE):
+      * "thread" (default): a pool of independent provers on the native
+        host backend, which releases the GIL — scales with host cores and
+        pays zero cross-prover synchronization.
+      * "lockstep": every protocol point-op coalesces across the batch
+        into one merged device dispatch (utils.lockstep) — the MSMs of
+        K=64 ell=124 provers become 64x128-lane ladder batches. Right
+        when the accelerator is co-located (dispatch latency ~us);
+        measured WRONG over a high-latency device tunnel (each of the
+        protocol's hundreds of sequential steps pays the round trip) and
+        barrier-heavy when K far exceeds the host core count."""
+    import os as _os
 
     rng = rng or default_rng()
     rngs = [rng.spawn() for _ in pre_shuffle_tracker_lists]
@@ -132,7 +141,17 @@ def GenerateWhiskShuffleProofs(
     fns = [
         make(pre, r) for pre, r in zip(pre_shuffle_tracker_lists, rngs)
     ]
-    return run_lockstep(fns)
+    if _os.environ.get("CURDLEPROOFS_BATCH_PROVE", "thread") == "lockstep":
+        from curdleproofs_tpu.utils.lockstep import run_lockstep
+
+        return run_lockstep(fns)
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(8, _os.cpu_count() or 1, max(1, len(fns)))
+    if workers <= 1 or len(fns) <= 1:
+        return [f() for f in fns]
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(lambda f: f(), fns))
 
 
 def AssertIsValidWhiskShuffleProof(
