@@ -160,7 +160,8 @@ def main():
                 BLSPubkey((r_G * k_s).to_compressed_bytes()),
             )
         )
-    GenerateWhiskShuffleProof(crs, pre, prng)  # warm
+    post_w, wproof_w = GenerateWhiskShuffleProof(crs, pre, prng)  # warm
+    assert IsValidWhiskShuffleProof(crs, pre, post_w, wproof_w)  # warm verify
     t0 = time.time()
     post, wproof = GenerateWhiskShuffleProof(crs, pre, prng)
     whisk_prove_s = time.time() - t0
