@@ -36,21 +36,30 @@ def ensure_native():
     pure Python (~13x slower whisk latencies, ~30x slower stream MSM route
     solves) — a fresh checkout must not be benchmarked in that state."""
     try:
-        import curdleproofs_tpu._g1_native  # noqa: F401
+        import curdleproofs_tpu._g1_native as _g1n
         import curdleproofs_tpu._keccak_native  # noqa: F401
         import curdleproofs_tpu._route_native  # noqa: F401
-        return
+
+        # a stale build imports but lacks newer symbols — rebuild then too
+        if hasattr(_g1n, "glv_decompose_batch") and hasattr(
+            _g1n, "msm_prep_batch"
+        ):
+            return
     except ImportError:
         pass
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    subprocess.run(
-        [sys.executable, "setup.py", "build_ext", "--inplace"],
-        cwd=here,
-        check=True,
-        capture_output=True,
-    )
+    try:
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=here,
+            check=True,
+            capture_output=True,
+        )
+    except subprocess.CalledProcessError as e:  # surface the compiler error
+        sys.stderr.write(e.stderr.decode(errors="replace") if e.stderr else "")
+        raise
 
 
 def main():

@@ -931,6 +931,212 @@ static PyObject *py_glv_decompose_batch(PyObject *self, PyObject *args) {
     return ret;
 }
 
+/* ---- streaming-MSM host prep ------------------------------------------
+ *
+ * One call replacing the numpy chain glv.decompose -> host_digits ->
+ * stream_host_prep -> _build_sel on the stream engine's critical path
+ * (curdleproofs_tpu/ops/msm.py): GLV split, c-bit digit extraction over
+ * the doubled [|k1| | k2] lane set, per-window stable counting sort with
+ * bucket-boundary ranks read straight off the count prefix, column-major
+ * relabel for the device scan layout, and the distinct-rank boundary
+ * selection schedule. All O(W*(n + B)) integer passes — milliseconds where
+ * the numpy pipeline (argsort + searchsorted + np.unique per window) spent
+ * ~100 ms of MSM wall on the 2-core bench host.
+ */
+
+/* digit w (c bits) of a 3x64-limb little-endian value */
+static inline uint32_t digit_at(const u64 *k, int w, int c) {
+    int b0 = w * c;
+    int limb = b0 >> 6, off = b0 & 63;
+    u64 v = k[limb] >> off;
+    if (off + c > 64 && limb + 1 < 3) v |= k[limb + 1] << (64 - off);
+    return (uint32_t)(v & ((1u << c) - 1));
+}
+
+static PyObject *py_msm_prep_batch(PyObject *self, PyObject *args) {
+    Py_buffer bs;
+    int c, L;
+    if (!PyArg_ParseTuple(args, "y*ii", &bs, &c, &L)) return NULL;
+    if (bs.len % 32) {
+        PyBuffer_Release(&bs);
+        return value_error("msm_prep_batch: buffer length % 32");
+    }
+    size_t n = (size_t)bs.len / 32, n2 = 2 * n;
+    if (c < 1 || c > 16 || L <= 0 || n2 % (size_t)L) {
+        PyBuffer_Release(&bs);
+        return value_error("msm_prep_batch: bad c/L");
+    }
+    int W = (130 + c - 1) / c;
+    int B = 1 << c;
+    size_t T = n2 / (size_t)L;
+
+    PyObject *on = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)n);
+    PyObject *oord = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(4 * W * n2));
+    PyObject *obidx =
+        PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(4 * W * (B - 1)));
+    PyObject *olidx =
+        PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(4 * W * (B - 1)));
+    uint16_t *dig = (uint16_t *)malloc(2 * (size_t)W * n2);
+    int32_t *earr = (int32_t *)malloc(4 * (size_t)W * (B - 1));
+    int32_t *slotc = (int32_t *)malloc(4 * T);
+    if (!on || !oord || !obidx || !olidx || !dig || !earr || !slotc) {
+        Py_XDECREF(on); Py_XDECREF(oord); Py_XDECREF(obidx); Py_XDECREF(olidx);
+        free(dig); free(earr); free(slotc);
+        PyBuffer_Release(&bs);
+        return PyErr_NoMemory();
+    }
+    uint8_t *pn = (uint8_t *)PyBytes_AS_STRING(on);
+    int32_t *ocm = (int32_t *)PyBytes_AS_STRING(oord);
+    int32_t *obx = (int32_t *)PyBytes_AS_STRING(obidx);
+    int32_t *olx = (int32_t *)PyBytes_AS_STRING(olidx);
+    const uint8_t *sb = (const uint8_t *)bs.buf;
+    int32_t maxocc = 0;
+
+    Py_BEGIN_ALLOW_THREADS
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (size_t i = 0; i < n; i++) {
+        u64 k[4], k1[3], k2[3];
+        int neg;
+        load_scalar(k, sb + 32 * i);
+        glv_decompose(k, &neg, k1, k2);
+        pn[i] = (uint8_t)neg;
+        for (int w = 0; w < W; w++) {
+            dig[(size_t)w * n2 + i] = (uint16_t)digit_at(k1, w, c);
+            dig[(size_t)w * n2 + n + i] = (uint16_t)digit_at(k2, w, c);
+        }
+    }
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        /* per-thread scratch (windows are independent) */
+        int32_t *ord_t = (int32_t *)malloc(4 * n2);
+        int32_t *cnt_t = (int32_t *)malloc(4 * (size_t)B);
+        int32_t *incl_t = (int32_t *)malloc(4 * (size_t)B);
+        int32_t *slotc_t = (int32_t *)malloc(4 * T);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int w = 0; w < W; w++) {
+            const uint16_t *dw = dig + (size_t)w * n2;
+            memset(cnt_t, 0, 4 * (size_t)B);
+            for (size_t i = 0; i < n2; i++) cnt_t[dw[i]]++;
+            int32_t run = 0;
+            for (int b = 0; b < B; b++) {
+                int32_t cb = cnt_t[b];
+                cnt_t[b] = run; /* exclusive prefix: placement cursor */
+                run += cb;
+                incl_t[b] = run;
+            }
+            /* stable counting-sort placement */
+            for (size_t i = 0; i < n2; i++)
+                ord_t[cnt_t[dw[i]]++] = (int32_t)i;
+            /* column-major relabel (cache-blocked transpose of the (L, T)
+             * rank matrix): device flat pos t*L + l = sorted rank l*T + t */
+            int32_t *oc = ocm + (size_t)w * n2;
+            const size_t BT = 64;
+            for (size_t l0 = 0; l0 < (size_t)L; l0 += BT)
+                for (size_t t0 = 0; t0 < T; t0 += BT) {
+                    size_t l1 = l0 + BT < (size_t)L ? l0 + BT : (size_t)L;
+                    size_t t1 = t0 + BT < T ? t0 + BT : T;
+                    for (size_t l = l0; l < l1; l++)
+                        for (size_t t = t0; t < t1; t++)
+                            oc[t * (size_t)L + l] = ord_t[l * T + t];
+                }
+            /* bucket-boundary ranks + full-prefix index tables */
+            int32_t *ew = earr + (size_t)w * (B - 1);
+            int32_t *bw = obx + (size_t)w * (B - 1);
+            int32_t *lw = olx + (size_t)w * (B - 1);
+            for (int t = 0; t < B - 1; t++) {
+                int32_t e = incl_t[t] - 1;
+                ew[t] = e;
+                if (e >= 0) {
+                    int32_t te = e % (int32_t)T, le = e / (int32_t)T;
+                    bw[t] = te * L + le;
+                    lw[t] = le > 0 ? le - 1 : -1;
+                } else {
+                    bw[t] = -1;
+                    lw[t] = -1;
+                }
+            }
+            /* boundary-selection occupancy pre-pass (distinct ranks/step) */
+            memset(slotc_t, 0, 4 * T);
+            int32_t prev = -1, mo = 0;
+            for (int t = 0; t < B - 1; t++) {
+                int32_t e = ew[t];
+                if (e >= 0 && e != prev) {
+                    int32_t occ = ++slotc_t[e % (int32_t)T];
+                    if (occ > mo) mo = occ;
+                    prev = e;
+                }
+            }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+            if (mo > maxocc) maxocc = mo;
+        }
+        free(ord_t); free(cnt_t); free(incl_t); free(slotc_t);
+    }
+    Py_END_ALLOW_THREADS
+
+    /* pick the smallest selection-slot capacity that fits (0 = overflow:
+     * caller falls back to the full-prefix path via bidx/lidx) */
+    int S = maxocc <= 128 ? 128 : (maxocc <= 256 ? 256 : 0);
+    PyObject *osel = NULL, *obpos = NULL;
+    if (S) {
+        osel = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(4 * W * T * S));
+        obpos = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(4 * W * (B - 1)));
+    } else {
+        osel = PyBytes_FromStringAndSize(NULL, 0);
+        obpos = PyBytes_FromStringAndSize(NULL, 0);
+    }
+    if (!osel || !obpos) {
+        Py_DECREF(on); Py_DECREF(oord); Py_DECREF(obidx); Py_DECREF(olidx);
+        Py_XDECREF(osel); Py_XDECREF(obpos);
+        free(dig); free(earr); free(slotc);
+        PyBuffer_Release(&bs);
+        return NULL;
+    }
+    if (S) {
+        int32_t *sel = (int32_t *)PyBytes_AS_STRING(osel);
+        int32_t *bp = (int32_t *)PyBytes_AS_STRING(obpos);
+        Py_BEGIN_ALLOW_THREADS
+        memset(sel, 0xFF, 4 * (size_t)W * T * S); /* -1 = empty slot */
+        for (int w = 0; w < W; w++) {
+            const int32_t *ew = earr + (size_t)w * (B - 1);
+            int32_t *bw = bp + (size_t)w * (B - 1);
+            int32_t *sw = sel + (size_t)w * T * S;
+            memset(slotc, 0, 4 * T);
+            int32_t prev = -1, prevpos = -1;
+            for (int t = 0; t < B - 1; t++) {
+                int32_t e = ew[t];
+                if (e < 0) {
+                    bw[t] = -1;
+                } else {
+                    if (e != prev) {
+                        int32_t ut = e % (int32_t)T;
+                        int32_t slot = slotc[ut]++;
+                        sw[(size_t)ut * S + slot] = e / (int32_t)T;
+                        prevpos = ut * S + slot;
+                        prev = e;
+                    }
+                    bw[t] = prevpos;
+                }
+            }
+        }
+        Py_END_ALLOW_THREADS
+    }
+    free(dig); free(earr); free(slotc);
+    PyBuffer_Release(&bs);
+    PyObject *ret = Py_BuildValue("(OOOOOOii)", on, oord, obidx, olidx, osel,
+                                  obpos, S, W);
+    Py_DECREF(on); Py_DECREF(oord); Py_DECREF(obidx); Py_DECREF(olidx);
+    Py_DECREF(osel); Py_DECREF(obpos);
+    return ret;
+}
+
 static PyMethodDef Methods[] = {
     {"msm", py_msm, METH_VARARGS,
      "msm(points96, inf_flags, scalars32_le) -> (affine96, inf)"},
@@ -949,6 +1155,10 @@ static PyMethodDef Methods[] = {
      "subgroup_check_batch(points96, inf) -> first bad index or -1"},
     {"glv_decompose_batch", py_glv_decompose_batch, METH_VARARGS,
      "glv_decompose_batch(scalars32_le) -> (k1_24le*n, neg1*n, k2_24le*n)"},
+    {"msm_prep_batch", py_msm_prep_batch, METH_VARARGS,
+     "msm_prep_batch(scalars32_le, c, L) -> (neg1*n, order_cm_i32[W,2n],\n"
+     "bidx_i32[W,B-1], lidx_i32[W,B-1], sel_i32[W*T,S], bpos_i32[W,B-1],\n"
+     "S, W) — GLV-split streaming-Pippenger host prep in one pass"},
     {NULL, NULL, 0, NULL},
 };
 

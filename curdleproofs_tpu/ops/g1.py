@@ -195,6 +195,38 @@ def _jmadd_formulas(
     return res
 
 
+def _jmadd_formulas_flagged(p: JPoints, q: APoints):
+    """Mixed add WITHOUT the fused doubling path, plus a per-lane flag.
+
+    The complete madd (handle_doubling=True) spends ~5.5 extra montmul-
+    equivalents per step on a full Jacobian doubling that exists only for
+    the p == q edge case — astronomically rare in MSM prefix scans (it
+    requires a running prefix to exactly equal the incoming base point).
+    This variant skips it and instead returns (res, dbl_mask): res is WRONG
+    (z3 == 0) exactly where dbl_mask is set, and the caller must detect the
+    mask and redo the affected work on a complete path (ops.msm falls back
+    to the doubling-safe full-prefix pipeline). Cancellation p == -q and
+    both infinity cases remain exact here. The flag reads h and r straight
+    off the formula's intermediates — zero extra field muls."""
+    z1z1 = _sqr(p.z)
+    u2 = _mul(q.x, z1z1)
+    s2 = _mul(_mul(q.y, p.z), z1z1)
+    h = _sub(u2, p.x)
+    hh = _sqr(h)
+    i = _dbl(_dbl(hh))
+    j = _mul(h, i)
+    r = _dbl(_sub(s2, p.y))
+    v = _mul(p.x, i)
+    x3 = _sub(_sub(_sqr(r), j), _dbl(v))
+    y3 = _sub(_mul(r, _sub(v, x3)), _dbl(_mul(p.y, j)))
+    z3 = _mul(_dbl(p.z), h)
+    res = JPoints(x3, y3, z3)
+    dbl = _is0(h) & _is0(r) & ~is_inf(p) & ~q.inf
+    res = jselect(q.inf, p, res)
+    res = jselect(is_inf(p), lift(q), res)
+    return res, dbl
+
+
 def jmadd(p: JPoints, q: APoints) -> JPoints:
     """Complete mixed add — dispatches to the fused Pallas kernel on TPU."""
     from curdleproofs_tpu.ops import pallas_g1

@@ -137,6 +137,9 @@ def decompose(scalars: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     try:
         from curdleproofs_tpu import _g1_native
 
+        # AttributeError guard: a stale pre-round-3 _g1_native build imports
+        # fine but lacks glv_decompose_batch — fall back to numpy, same as a
+        # missing extension (ADVICE r3).
         le = np.ascontiguousarray(scalars.T.astype("<u2")).tobytes()
         b1, bn, b2 = _g1_native.glv_decompose_batch(le)
         n = scalars.shape[1]
@@ -152,7 +155,7 @@ def decompose(scalars: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         )
         neg1 = np.frombuffer(bn, np.uint8).astype(bool)
         return s1, neg1, s2
-    except ImportError:
+    except (ImportError, AttributeError):
         pass
     k = scalars.astype(np.uint64)
     n = k.shape[1]

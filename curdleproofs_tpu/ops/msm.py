@@ -491,7 +491,7 @@ def _routed_sel_body(packed, i1, i2, i3, sel, bpos, lidx, T: int, L: int, S: int
     i1, i2, i3 = (a.astype(jnp.int32) for a in (i1, i2, i3))
     sel = sel.astype(jnp.int32)
     g = ogather.routed_gather(packed, i1, i2, i3)  # (49, wb, n)
-    bsel, totals = ostream.scan_records_sel(
+    bsel, totals, flags = ostream.scan_records_sel(
         g.reshape(49, wb * T * L), sel, wb, T, L, S
     )
     lane_scan = oscan._hs_scan(
@@ -507,7 +507,7 @@ def _routed_sel_body(packed, i1, i2, i3, sel, bpos, lidx, T: int, L: int, S: int
         JPoints(bl[:24], bl[24:48], bl[48:]), JPoints(lo[:24], lo[24:48], lo[48:])
     )
     bsums = oscan.tree_reduce_hybrid(boundary)  # (24, wb)
-    return total, bsums
+    return total, bsums, flags
 
 
 # boundary-selection slot capacities per scan step, tried smallest first.
@@ -630,6 +630,16 @@ def _pack_stream_results(xs, ys, zs):
     return jnp.concatenate([cat(xs), cat(ys), cat(zs)], axis=0)
 
 
+@jax.jit
+def _pack_stream_results_flagged(xs, ys, zs, flags):
+    """_pack_stream_results plus ONE trailing column whose first rows carry
+    the per-window doubling flags (flags: tuple of (wb,) u32) — the flags
+    ride home inside the same single readback."""
+    f = jnp.concatenate([jnp.atleast_1d(fl) for fl in flags])
+    col = jnp.zeros((72,), jnp.uint32).at[: f.shape[0]].set(f).reshape(72, 1)
+    return jnp.concatenate([_pack_stream_results(xs, ys, zs), col], axis=-1)
+
+
 def msm_pippenger_stream(
     points: APoints,
     scalars: np.ndarray,
@@ -655,6 +665,7 @@ def _msm_stream_impl(
     c: int,
     window_batch: Optional[int] = None,
     routed: Optional[bool] = None,
+    _safe: bool = False,
 ) -> G1:
     from curdleproofs_tpu.ops.stream_scan import pick_lanes
 
@@ -662,6 +673,7 @@ def _msm_stream_impl(
 
     _t0 = _time.perf_counter()
     _trace = bool(os.environ.get("CURDLEPROOFS_STREAM_TRACE"))
+    points_in, scalars_in = points, scalars_np  # for the doubling-fallback
 
     def _dbg(tag):
         if _trace:
@@ -692,26 +704,70 @@ def _msm_stream_impl(
     # per-window cost — bucket-boundary stitch, tree reduce, index-table
     # bytes, host window combine — halves with W.
     glv_split = STREAM_GLV and n >= GLV_STREAM_MIN_N
-    if glv_split:
-        from curdleproofs_tpu.ops import glv as oglv
-
-        s1, neg1, s2 = oglv.decompose(scalars_np.astype(np.uint64))
-        _dbg("glv decompose")
-        digits = host_digits(
-            np.concatenate([s1, s2], axis=1).astype(np.uint32), c, bits=130
-        )  # (ceil(130/c), 2n) — |s1| < 2^129 plus one bit of headroom
-        n *= 2
-    else:
-        digits = host_digits(scalars_np, c)  # (W, n) uint16
-    W = digits.shape[0]
-    L = pick_lanes(n)
-    T = n // L
-    _dbg("digits")
-    order_cm, bidx, lidx, e = stream_host_prep(digits, c, L)
-    _dbg("argsort+prep")
-
     if routed is None:
-        routed = n >= ROUTE_MIN_N
+        routed = 2 * n >= ROUTE_MIN_N if glv_split else n >= ROUTE_MIN_N
+
+    neg1 = None
+    sel_all = bpos_all = None
+    S = SEL_SLOTS
+    native_prep = None
+    if glv_split and not _safe:
+        try:
+            from curdleproofs_tpu import _g1_native
+
+            native_prep = getattr(_g1_native, "msm_prep_batch", None)
+        except ImportError:
+            pass
+    if native_prep is not None:
+        # ONE native call: GLV split + digits + counting sort + boundary
+        # ranks + column-major relabel + boundary-selection schedule
+        # (C, OpenMP) — replaces ~100 ms of numpy on the critical path
+        n2 = 2 * n
+        L = pick_lanes(n2)
+        T = n2 // L
+        buf = np.ascontiguousarray(scalars_np.T.astype("<u2")).tobytes()
+        nb, ob, bb, lb, sb_, pb, S_nat, W = native_prep(buf, c, L)
+        neg1 = np.frombuffer(nb, np.uint8).astype(bool)
+        order_cm = np.frombuffer(ob, np.int32).reshape(W, n2)
+        bidx = np.frombuffer(bb, np.int32).reshape(W, B - 1)
+        lidx = np.frombuffer(lb, np.int32).reshape(W, B - 1)
+        if routed and S_nat:
+            S = S_nat
+            sel_all = np.frombuffer(sb_, np.int32).reshape(W * T, S)
+            bpos_all = np.frombuffer(pb, np.int32).reshape(W, B - 1)
+        n = n2
+        _dbg(f"native prep (S={S if sel_all is not None else 0})")
+    else:
+        if glv_split:
+            from curdleproofs_tpu.ops import glv as oglv
+
+            s1, neg1, s2 = oglv.decompose(scalars_np.astype(np.uint64))
+            _dbg("glv decompose")
+            digits = host_digits(
+                np.concatenate([s1, s2], axis=1).astype(np.uint32), c, bits=130
+            )  # (ceil(130/c), 2n) — |s1| < 2^129 plus one bit of headroom
+            n *= 2
+        else:
+            digits = host_digits(scalars_np, c)  # (W, n) uint16
+        W = digits.shape[0]
+        L = pick_lanes(n)
+        T = n // L
+        _dbg("digits")
+        order_cm, bidx, lidx, e = stream_host_prep(digits, c, L)
+        _dbg("argsort+prep")
+        # in-kernel boundary selection (skips the full prefix write):
+        # routed path only; S adapts to the smallest slot option that
+        # fits, and falls back to the full-prefix path when even the
+        # largest overflows. _safe forces the full-prefix path (the
+        # doubling-complete kernel) — the fallback when the fast no-
+        # doubling scan flagged a p == q collision.
+        if routed and not _safe:
+            for S in SEL_SLOT_OPTIONS:
+                sel_all, bpos_all = _build_sel(e, T, S)
+                if sel_all is not None:
+                    break
+        _dbg(f"build_sel (S={S if sel_all is not None else 0})")
+
     if window_batch is None:
         if routed:
             # three chunks: the 2-core host works through route solves at
@@ -756,18 +812,6 @@ def _msm_stream_impl(
             for w in range(-(-W // window_batch) * window_batch)
         ]
         pool.shutdown(wait=False)
-
-    # in-kernel boundary selection (skips the full prefix write): routed
-    # path only; S adapts to the smallest slot option that fits, and falls
-    # back to the full-prefix path when even the largest overflows
-    sel_all = bpos_all = None
-    S = SEL_SLOTS
-    if routed:
-        for S in SEL_SLOT_OPTIONS:
-            sel_all, bpos_all = _build_sel(e, T, S)
-            if sel_all is not None:
-                break
-    _dbg(f"build_sel (S={S})")
 
     if glv_split:
         packed = _glv_stream_packed(
@@ -845,7 +889,7 @@ def _msm_stream_impl(
                     [p.astype(np.int16).ravel() for p in parts]
                 )
                 _dbg(f"chunk {w0}: packed ({buf.nbytes >> 10} KB)")
-                total, bsums = _stream_routed_sel_packed(
+                total, bsums, flags = _stream_routed_sel_packed(
                     packed, jnp.asarray(buf), T, L, S, shapes, pack13
                 )
                 _dbg(f"chunk {w0}: dispatched")
@@ -860,20 +904,45 @@ def _msm_stream_impl(
                     T,
                     L,
                 )
+                flags = None
         else:
             total, bsums = _stream_window_partials(
                 packed, jnp.asarray(ordc), jnp.asarray(bc), jnp.asarray(lc), T, L
             )
-        pending.append((total, bsums))
+            flags = None
+        pending.append((total, bsums, flags))
 
     # ONE readback for everything: the tunnel charges ~29 ms fixed latency
     # per host transfer and jpoints_to_host alone is three of them, so the
-    # total + every chunk's bucket sums ride home in a single (72, 1+K)
-    # array (bytes are trivial; the latency was the cost)
-    xs = [pending[0][0].x] + [b.x for _, b in pending]
-    ys = [pending[0][0].y] + [b.y for _, b in pending]
-    zs = [pending[0][0].z] + [b.z for _, b in pending]
-    arr = np.asarray(_pack_stream_results(tuple(xs), tuple(ys), tuple(zs)))
+    # total + every chunk's bucket sums (and the doubling flags, when the
+    # fast no-doubling scan ran) ride home in a single (72, 1+K[+1]) array
+    # (bytes are trivial; the latency was the cost)
+    xs = [pending[0][0].x] + [b.x for _, b, _ in pending]
+    ys = [pending[0][0].y] + [b.y for _, b, _ in pending]
+    zs = [pending[0][0].z] + [b.z for _, b, _ in pending]
+    flagged = pending[0][2] is not None
+    if flagged:
+        arr = np.asarray(
+            _pack_stream_results_flagged(
+                tuple(xs), tuple(ys), tuple(zs),
+                tuple(f for _, _, f in pending),
+            )
+        )
+        flags_host = arr[: 72, -1]
+        arr = arr[:, :-1]
+        if flags_host.any():
+            # a p == q doubling collision hit the fast-path scan (requires
+            # a running prefix to equal the incoming base — essentially
+            # only constructible on purpose). Redo on the doubling-safe
+            # full-prefix pipeline: exactness preserved, cost ~2x once.
+            _dbg("doubling flag set -> safe-path redo")
+            return _msm_stream_impl(
+                points_in, scalars_in, c, None, routed, _safe=True
+            )
+    else:
+        arr = np.asarray(
+            _pack_stream_results(tuple(xs), tuple(ys), tuple(zs))
+        )
     pts = og.jpoints_to_host(JPoints(arr[:24], arr[24:48], arr[48:]))
     total_host, bsums_host = pts[0], pts[1:]
     _dbg("materialized")

@@ -124,9 +124,18 @@ def _build_scan_sel(W: int, T: int, L: int, S: int):
     (S_w = (B-1)*total - sum_t P[e_t]), so slot order never matters and
     duplicate lanes (empty buckets) are naturally counted with multiplicity.
 
-    records (49, 1, W*T*L) -> (bsel (72, 1, W*T*S), totals (72, 1, W*L))."""
+    The mixed add here SKIPS the fused doubling path (~5.5 montmuls/step,
+    ~35% of kernel time, for an astronomically-rare p == q case) and
+    instead OR-accumulates a per-lane doubling flag; rows 72-79 of the
+    totals output carry the flags home (ops.msm redoes the whole MSM on
+    the doubling-safe full-prefix path if any flag fires — exactness is
+    preserved, adversarial inputs can only cause a slowdown).
 
-    def kernel(const_ref, rec_ref, sel_ref, bsel_ref, tot_ref, accx, accy, accz):
+    records (49, 1, W*T*L) -> (bsel (72, 1, W*T*S), totals (80, 1, W*L))."""
+
+    def kernel(
+        const_ref, rec_ref, sel_ref, bsel_ref, tot_ref, accx, accy, accz, accf
+    ):
         t = pl.program_id(1)
         rec = rec_ref[...]
         x = rec[:24, 0, :]
@@ -142,12 +151,18 @@ def _build_scan_sel(W: int, T: int, L: int, S: int):
                 jnp.where(first, zeros, accy[...]),
                 jnp.where(first, zeros, accz[...]),
             )
-            res = og._jmadd_formulas(prev, og.APoints(x, y, infv))
+            res, dbl = og._jmadd_formulas_flagged(prev, og.APoints(x, y, infv))
         accx[...] = res.x
         accy[...] = res.y
         accz[...] = res.z
+        flag = jnp.broadcast_to(
+            dbl.astype(jnp.uint32).reshape(1, L), (8, L)
+        )
+        accf[...] = jnp.where(t == 0, flag, accf[...] | flag)
         out = jnp.concatenate([res.x, res.y, res.z], axis=0)  # (72, L)
-        tot_ref[...] = out.reshape(72, 1, L)
+        tot_ref[...] = jnp.concatenate([out, accf[...]], axis=0).reshape(
+            80, 1, L
+        )
         # exact one-hot selection of boundary lanes (see ops.gather for the
         # byte-plane bf16 trick): planes (288, L) @ one-hot (L, S) -> (288, S)
         planes = [
@@ -187,14 +202,17 @@ def _build_scan_sel(W: int, T: int, L: int, S: int):
             ],
             out_specs=[
                 _vspec((72, 1, S), lambda w, t: (0, 0, w * T + t)),
-                _vspec((72, 1, L), lambda w, t: (0, 0, w)),
+                _vspec((80, 1, L), lambda w, t: (0, 0, w)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((72, 1, W * T * S), jnp.uint32),
-                jax.ShapeDtypeStruct((72, 1, W * L), jnp.uint32),
+                jax.ShapeDtypeStruct((80, 1, W * L), jnp.uint32),
             ],
             scratch_shapes=(
-                [pltpu.VMEM((24, L), jnp.uint32)] * 3 if pltpu is not None else []
+                [pltpu.VMEM((24, L), jnp.uint32)] * 3
+                + [pltpu.VMEM((8, L), jnp.uint32)]
+                if pltpu is not None
+                else []
             ),
             interpret=_interpret(),
         )(_consts_arr(), records, sel)
@@ -253,15 +271,20 @@ def scan_records_sel(
 
     records (49, W*T*L) u32 as in scan_records; sel (W*T, S) i32 lane ids
     (-1 = empty slot, emits the zero triple = identity). Returns
-    (bsel (72, W, T*S) selected prefixes, lane_totals (72, W, L))."""
+    (bsel (72, W, T*S) selected prefixes, lane_totals (72, W, L),
+    dbl_flags (W,) u32 — nonzero where the no-doubling fast-path madd hit
+    the p == q case and the window result is INVALID; the caller must
+    redo on the doubling-safe path)."""
     from curdleproofs_tpu.ops import pallas_g1
 
     if pallas_g1.enabled():
         bs, tot = _build_scan_sel(W, T, L, S)(
             records.reshape(49, 1, W * T * L), sel.reshape(W * T, 1, S)
         )
-        return bs.reshape(72, W, T * S), tot.reshape(72, W, L)
-    pref, tot = _scan_records_xla(records, W, T, L)
+        tot = tot.reshape(80, W, L)
+        flags = jnp.max(tot[72], axis=-1)  # (W,) OR over lanes (0/1 values)
+        return bs.reshape(72, W, T * S), tot[:72], flags
+    pref, tot, flags = _scan_records_xla_flagged(records, W, T, L)
     # XLA twin: select from the full prefix. flat pos = t*L + lane
     lane = sel.reshape(W, T, S)
     pos = jnp.arange(T, dtype=jnp.int32).reshape(1, T, 1) * L + lane
@@ -269,7 +292,7 @@ def scan_records_sel(
     safe = jnp.clip(pos, 0, T * L - 1)
     bs = jnp.take_along_axis(pref, safe[None, :, :], axis=-1)
     bs = jnp.where((pos >= 0)[None, :, :], bs, jnp.zeros_like(bs))
-    return bs, tot
+    return bs, tot, flags
 
 
 def _scan_records_xla(records: jnp.ndarray, W: int, T: int, L: int):
@@ -289,3 +312,29 @@ def _scan_records_xla(records: jnp.ndarray, W: int, T: int, L: int):
     pref = jnp.concatenate([re(ys.x), re(ys.y), re(ys.z)], axis=0)
     tot = jnp.concatenate([acc_t.x, acc_t.y, acc_t.z], axis=0)
     return pref, tot
+
+
+def _scan_records_xla_flagged(records: jnp.ndarray, W: int, T: int, L: int):
+    """Exact lax.scan twin of the flagged sel kernel: no-doubling madd plus
+    per-window doubling flags (same semantics as _build_scan_sel)."""
+    rec = records.reshape(49, W, T, L)
+    x, y, infv = rec[:24], rec[24:48], rec[48] != 0
+
+    def step(carry, t):
+        acc, f = carry
+        q = og.APoints(x[:, :, t], y[:, :, t], infv[:, t])
+        res, dbl = og._jmadd_formulas_flagged(acc, q)
+        return (res, f | dbl.astype(jnp.uint32)), res
+
+    (acc_t, fl), ys = jax.lax.scan(
+        step,
+        (og.jinf((W, L)), jnp.zeros((W, L), jnp.uint32)),
+        jnp.arange(T),
+    )
+
+    def re(a):  # (T, 24, W, L) -> (24, W, T*L)
+        return jnp.moveaxis(a, 0, 2).reshape(24, W, T * L)
+
+    pref = jnp.concatenate([re(ys.x), re(ys.y), re(ys.z)], axis=0)
+    tot = jnp.concatenate([acc_t.x, acc_t.y, acc_t.z], axis=0)
+    return pref, tot, jnp.max(fl, axis=-1)

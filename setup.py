@@ -23,7 +23,13 @@ setup(
         Extension(
             "curdleproofs_tpu._g1_native",
             sources=["csrc/g1.c"],
-            extra_compile_args=["-O3", "-march=native", "-funroll-loops"],
+            extra_compile_args=[
+                "-O3",
+                "-march=native",
+                "-funroll-loops",
+                "-fopenmp",
+            ],
+            extra_link_args=["-fopenmp"],
         ),
         Extension(
             "curdleproofs_tpu._route_native",

@@ -204,6 +204,138 @@ def test_msm_stream_routed_matches_oracle(monkeypatch):
     assert got == want
 
 
+def test_msm_stream_routed_sel_matches_oracle(monkeypatch):
+    """Streaming MSM with routed gather AND in-kernel boundary selection
+    forced on at a small size (ADVICE r3: the sel/bpos encoding was only
+    exercised on hardware). Small L makes T large enough that the
+    selection schedule fits S=128 and actually engages."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops import stream_scan as ostream
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+    monkeypatch.setattr(omsm, "ROUTE_MIN_N", 256)
+    monkeypatch.setattr(omsm, "ROUTE_MIN_FACTOR", 8)
+    monkeypatch.setattr(ostream, "_LANES", 32)  # L=32 -> T=16 at n2=512
+    n = 250  # pads to 256; GLV split doubles to 512 lanes
+    pts = rand_points(n - 4) + [G1.identity(), G1()] + [G1() * Fr(3)] * 2
+    scs = rand_scalars(n - 3) + [Fr(0), Fr(0), Fr(5)]
+    sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
+    want = msm_host(pts, scs)
+    got = omsm.msm_pippenger_stream(
+        og.pack_points(pts), sc_np, c=9, window_batch=5, routed=True
+    )
+    assert got == want
+
+
+def test_msm_stream_sel_doubling_collision_falls_back(monkeypatch):
+    """All-equal points/scalars: every lane's second record equals its
+    running prefix, so the no-doubling fast-path scan must flag the p == q
+    collision and the engine must redo on the doubling-safe path, still
+    returning the exact result."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops import stream_scan as ostream
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+    monkeypatch.setattr(omsm, "ROUTE_MIN_N", 256)
+    monkeypatch.setattr(omsm, "ROUTE_MIN_FACTOR", 8)
+    monkeypatch.setattr(ostream, "_LANES", 32)
+    n = 256
+    p = G1() * Fr(11)
+    pts = [p] * n
+    scs = [Fr(7)] * n
+    sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
+
+    calls = {"safe": 0}
+    orig = omsm._msm_stream_impl
+
+    def spy(points, scalars_np, c, window_batch=None, routed=None, _safe=False):
+        if _safe:
+            calls["safe"] += 1
+        return orig(points, scalars_np, c, window_batch, routed, _safe)
+
+    monkeypatch.setattr(omsm, "_msm_stream_impl", spy)
+    got = omsm.msm_pippenger_stream(
+        og.pack_points(pts), sc_np, c=9, routed=True
+    )
+    assert got == msm_host(pts, scs)
+    assert calls["safe"] == 1, "doubling collision must trigger the safe redo"
+
+
+def test_build_sel_escalation_and_overflow():
+    """_build_sel slot scheduling: occupancy just over 128 needs S=256;
+    pathological concentration (every boundary rank congruent mod T)
+    overflows even 256 and must return (None, None)."""
+    import numpy as np
+
+    T = 8
+    # 200 distinct ranks all congruent to 3 (mod T): occupancy 200
+    e = (np.arange(200, dtype=np.int64) * T + 3).reshape(1, 200)
+    sel, bpos = omsm._build_sel(e, T, 128)
+    assert sel is None and bpos is None
+    sel, bpos = omsm._build_sel(e, T, 256)
+    assert sel is not None
+    # every rank landed in step 3's slot list, distinct slots
+    row = sel.reshape(T, 256)[3]
+    assert (np.sort(row[row >= 0]) == np.arange(200)).all()
+    # bpos points each boundary at its own slot in step 3
+    assert (bpos[0] // 256 == 3).all()
+    # 300 distinct ranks, same step: overflows both options
+    e2 = (np.arange(300, dtype=np.int64) * T + 1).reshape(1, 300)
+    for S in (128, 256):
+        s2, b2 = omsm._build_sel(e2, T, S)
+        assert s2 is None and b2 is None
+
+
+def test_native_msm_prep_matches_numpy_pipeline():
+    """C msm_prep_batch vs the numpy GLV+digits+sort+boundaries+sel chain
+    (both stable sorts of identical keys -> bit-identical tables)."""
+    import numpy as np
+
+    _g1n = pytest.importorskip("curdleproofs_tpu._g1_native")
+    if not hasattr(_g1n, "msm_prep_batch"):
+        pytest.skip("stale native build")
+    from curdleproofs_tpu.ops import glv as oglv
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+    n, c, L = 512, 8, 64
+    vals = [rng.randrange(FR_MOD) for _ in range(n - 2)] + [0, FR_MOD - 1]
+    sc16 = np.asarray(ints_to_limbs(vals, 16), dtype=np.uint32)
+
+    s1, neg_ref, s2 = oglv.decompose(sc16.astype(np.uint64))
+    digits = omsm.host_digits(
+        np.concatenate([s1, s2], axis=1).astype(np.uint32), c, bits=130
+    )
+    W = digits.shape[0]
+    n2 = 2 * n
+    T = n2 // L
+    ocm_ref, bidx_ref, lidx_ref, e_ref = omsm.stream_host_prep(digits, c, L)
+
+    buf = np.ascontiguousarray(sc16.T.astype("<u2")).tobytes()
+    nb, ob, bb, lb, sb_, pb, S, Wn = _g1n.msm_prep_batch(buf, c, L)
+    assert Wn == W
+    assert np.array_equal(np.frombuffer(nb, np.uint8).astype(bool), neg_ref)
+    assert np.array_equal(
+        np.frombuffer(ob, np.int32).reshape(W, n2), ocm_ref
+    )
+    assert np.array_equal(
+        np.frombuffer(bb, np.int32).reshape(W, -1), bidx_ref
+    )
+    assert np.array_equal(
+        np.frombuffer(lb, np.int32).reshape(W, -1), lidx_ref
+    )
+    if S:
+        sel_ref, bpos_ref = omsm._build_sel(e_ref, T, S)
+        assert sel_ref is not None
+        assert np.array_equal(
+            np.frombuffer(sb_, np.int32).reshape(W * T, S), sel_ref
+        )
+        assert np.array_equal(
+            np.frombuffer(pb, np.int32).reshape(W, -1), bpos_ref
+        )
+
+
 def test_msm_stream_duplicate_runs():
     """Every point identical: the streaming scan's running prefix hits the
     madd doubling branch at (almost) every step."""
