@@ -1,25 +1,31 @@
 #!/usr/bin/env python
-"""Headline benchmark: G1 MSM throughput on one TPU chip at n=2^16.
+"""Headline benchmark: G1 MSM throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-The headline value is CANONICAL-MODEL point-ops/s: the useful work of an
-MSM under the standard Pippenger cost model — W*(n + B) group adds for
-W = ceil(255/c) windows of c bits, B = 2^c buckets, with c chosen by
-ops.msm.pick_window(n) — divided by measured wall time. This counts the
-same work for every engine, so an engine that executes MORE group ops than
-Pippenger needs (e.g. the fixed-229-ops/lane GLV ladder) is not credited
-for the redundancy. Executed-op throughput per engine is reported
-separately as `executed_ops_per_s`.
+The headline value is CANONICAL-MODEL point-ops/s at n=2^16: the useful
+work of an MSM under the standard Pippenger cost model — W*(n + B) group
+adds for W = ceil(255/c) windows of c bits, B = 2^c buckets, with c chosen
+by ops.msm.pick_window(n) — divided by MEDIAN wall time over BENCH_REPS
+runs (median + min/max spread reported; the axon tunnel's run-to-run
+variance makes min-of-N flattering). This counts the same work for every
+engine, so an engine that executes MORE group ops than Pippenger needs
+(e.g. the fixed-229-ops/lane GLV ladder) is not credited for the
+redundancy. Executed-op throughput is reported as `executed_ops_per_s`.
+
+A second measurement at n=2^20 (the BASELINE config-5 size, where fixed
+costs amortize) rides in the same JSON line as `n20_*` fields
+(BENCH_N20=0 skips it).
 
 Baseline target (BASELINE.md): 10M point-ops/s/chip.
 
-Env knobs: BENCH_N (default 65536), BENCH_C (window bits), BENCH_REPS,
-BENCH_METHOD (stream | ladder | hostsort | pippenger; default stream —
-fastest measured, see benchmarks/micro_msm_methods.py).
+Env knobs: BENCH_N (default 65536), BENCH_C (window bits), BENCH_REPS
+(default 7), BENCH_METHOD (stream | ladder | hostsort | pippenger),
+BENCH_WB (window chunk), BENCH_N20 (default 1).
 """
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -32,17 +38,18 @@ if os.environ.get("BENCH_UNROLL"):
 def ensure_native():
     """Build the in-tree C backends if this environment hasn't yet.
 
-    Without them the host curve ops and the Benes route solver fall back to
-    pure Python (~13x slower whisk latencies, ~30x slower stream MSM route
-    solves) — a fresh checkout must not be benchmarked in that state."""
+    Without them the host curve ops, the Benes route solver and the
+    transcript fall back to pure Python (~13x slower whisk latencies, ~30x
+    slower stream MSM route solves) — a fresh checkout must not be
+    benchmarked in that state. A stale build that imports but lacks newer
+    symbols is rebuilt too."""
     try:
         import curdleproofs_tpu._g1_native as _g1n
-        import curdleproofs_tpu._keccak_native  # noqa: F401
+        import curdleproofs_tpu._keccak_native as _kn
         import curdleproofs_tpu._route_native  # noqa: F401
 
-        # a stale build imports but lacks newer symbols — rebuild then too
-        if hasattr(_g1n, "glv_decompose_batch") and hasattr(
-            _g1n, "msm_prep_batch"
+        if hasattr(_g1n, "msm_prep_batch") and hasattr(
+            _kn, "merlin_challenge_scalars"
         ):
             return
     except ImportError:
@@ -62,13 +69,49 @@ def ensure_native():
         raise
 
 
+def build_inputs(n):
+    """Deterministic inputs with RANDOM discrete logs (native batch scalar
+    mul). Structured bases like incremental multiples of G are both
+    unrepresentative of protocol MSMs (CRS/tracker points have unknown
+    dlogs) and degenerate for the no-doubling fast-path scan: with tiny
+    sequential dlogs, running prefixes collide with incoming bases and
+    every rep pays the doubling-safe redo."""
+    import hashlib
+
+    from curdleproofs_tpu.curve import G1, mul_host_batch
+    from curdleproofs_tpu.fields import FR_MOD, Fr
+
+    dlogs = [
+        Fr(
+            int.from_bytes(
+                hashlib.sha256(f"p{i}".encode()).digest()
+                + hashlib.sha256(f"q{i}".encode()).digest(),
+                "little",
+            )
+            % FR_MOD
+        )
+        for i in range(n)
+    ]
+    pts = mul_host_batch([G1()] * n, dlogs)
+    scs = [
+        Fr(
+            int.from_bytes(
+                hashlib.sha256(f"b{i}".encode()).digest(), "little"
+            )
+            % FR_MOD
+        )
+        for i in range(n)
+    ]
+    return pts, scs
+
+
 def main():
     ensure_native()
     import jax
     import numpy as np
 
     n = int(os.environ.get("BENCH_N", 1 << 16))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    reps = int(os.environ.get("BENCH_REPS", 7))
 
     from curdleproofs_tpu.curve import G1, msm_host
     from curdleproofs_tpu.fields import FR_MOD, Fr
@@ -78,18 +121,7 @@ def main():
 
     import hashlib
 
-    # deterministic inputs: incremental multiples of G (fast host build)
-    pts = []
-    acc = G1()
-    g7 = G1() * Fr(7)
-    for _ in range(n):
-        pts.append(acc)
-        acc = acc + g7
-    scs = [
-        Fr(int.from_bytes(hashlib.sha256(f"b{i}".encode()).digest(), "little") % FR_MOD)
-        for i in range(n)
-    ]
-
+    pts, scs = build_inputs(n)
     points = og.pack_points(pts)
     scalars = og.pack_scalars(scs)
     sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
@@ -98,17 +130,17 @@ def main():
     method = os.environ.get("BENCH_METHOD", "stream")
     wb = int(os.environ["BENCH_WB"]) if os.environ.get("BENCH_WB") else None
 
-    def run_with(sv, sv_np):
+    def run_with(pv, sv, sv_np, cc=c):
         if method == "ladder":
-            return omsm.msm_ladder(points, sv)
+            return omsm.msm_ladder(pv, sv)
         if method == "stream":
-            return omsm.msm_pippenger_stream(points, sv_np, c=c, window_batch=wb)
+            return omsm.msm_pippenger_stream(pv, sv_np, c=cc, window_batch=wb)
         if method == "hostsort":
-            return omsm.msm_pippenger_hostsort(points, sv_np, c=c)
-        return omsm.msm_pippenger(points, sv, c=c)
+            return omsm.msm_pippenger_hostsort(pv, sv_np, c=cc)
+        return omsm.msm_pippenger(pv, sv, c=cc)
 
     def run():
-        return run_with(scalars, sc_np)
+        return run_with(points, scalars, sc_np)
 
     # warmup (compile; persistent cache makes this cheap on reruns)
     t0 = time.time()
@@ -122,8 +154,8 @@ def main():
     check_np = np.asarray(
         ints_to_limbs([s.v for s in check_scs], 16), dtype=np.uint32
     )
-    got = run_with(og.pack_scalars(check_scs), check_np)
-    assert got == msm_host(pts[:small], scs[:small]), "MSM correctness check failed"
+    got = run_with(points, og.pack_scalars(check_scs), check_np)
+    assert got == msm_host(pts[:small], scs[:small]), "MSM check failed"
 
     times = []
     for _ in range(reps):
@@ -132,10 +164,8 @@ def main():
         times.append(time.time() - t0)
         assert res == res0, "nondeterministic MSM result"
 
-    t = min(times)
-    # canonical Pippenger cost model: the useful work of this MSM
+    t = statistics.median(times)
     canonical_ops = W * (n + (1 << c))
-    # group operations actually executed by the chosen engine
     if method == "ladder":
         executed_ops = omsm.ladder_point_ops(n)
     elif method == "stream":
@@ -145,6 +175,46 @@ def main():
     else:
         executed_ops = W * (2 * n + 3 * (1 << c)) + 255
     value = canonical_ops / t
+
+    # ---- n=2^20 (BASELINE config-5 size): bases tiled from the 2^16 set
+    # (scalars fresh), canonical model at its own pick_window ------------
+    n20 = {}
+    if os.environ.get("BENCH_N20", "1") == "1" and method == "stream":
+        n2 = 1 << 20
+        tile = n2 // n
+        px = np.tile(np.asarray(points.x), (1, tile))
+        py = np.tile(np.asarray(points.y), (1, tile))
+        pinf = np.tile(np.asarray(points.inf), tile)
+        import jax.numpy as jnp
+
+        points20 = og.APoints(jnp.asarray(px), jnp.asarray(py), jnp.asarray(pinf))
+        scs20 = [
+            int.from_bytes(hashlib.sha256(f"s{i}".encode()).digest(), "little")
+            % FR_MOD
+            for i in range(n2)
+        ]
+        sc20_np = np.asarray(ints_to_limbs(scs20, 16), dtype=np.uint32)
+        c20 = int(os.environ.get("BENCH_C20", omsm.pick_window(n2)))
+        t0 = time.time()
+        r20 = omsm.msm_pippenger_stream(points20, sc20_np, c=c20)
+        compile20 = time.time() - t0
+        ts20 = []
+        for _ in range(int(os.environ.get("BENCH_REPS20", 3))):
+            t0 = time.time()
+            r = omsm.msm_pippenger_stream(points20, sc20_np, c=c20)
+            ts20.append(time.time() - t0)
+            assert r == r20, "nondeterministic 2^20 MSM"
+        W20 = -(-255 // c20)
+        can20 = W20 * (n2 + (1 << c20))
+        t20 = statistics.median(ts20)
+        n20 = {
+            "n20_ops_per_s": round(can20 / t20),
+            "n20_wall_s": round(t20, 3),
+            "n20_wall_min_s": round(min(ts20), 3),
+            "n20_wall_max_s": round(max(ts20), 3),
+            "n20_window_bits": c20,
+            "n20_compile_s": round(compile20, 1),
+        }
 
     # protocol-level latency extras (native host backend, ell=124 Whisk spec)
     from curdleproofs_tpu.models.crs import CurdleproofsCrs
@@ -190,10 +260,13 @@ def main():
         "executed_ops": executed_ops,
         "executed_ops_per_s": round(executed_ops / t),
         "msm_wall_s": round(t, 4),
+        "msm_wall_min_s": round(min(times), 4),
+        "msm_wall_max_s": round(max(times), 4),
         "msm_per_s": round(1.0 / t, 3),
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
         "reps": reps,
+        **n20,
         "whisk124_prove_s": round(whisk_prove_s, 3),
         "whisk124_verify_s": round(whisk_verify_s, 3),
     }

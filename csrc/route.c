@@ -37,52 +37,63 @@ typedef struct {
     int32_t *row_s, *col_s; /* src / c, src % c */
     uint8_t *bits;          /* per-level Euler split bit */
     int32_t *grp, *tmp;     /* group index buffers */
+    int32_t *uv, *uvtmp;    /* per group element: row_s | (row_d << 16) —
+                               carried through the partitions so no level
+                               ever re-reads row_s/row_d at random */
     int32_t *color;
-    /* adjacency workspace (sized for the largest group: n edges) */
-    int32_t *head;  /* 2r nodes */
-    int32_t *nxt;   /* 2n half-edges */
-    int32_t *einfo; /* half-edge -> (pos-in-grp << 1 | side); the walk
-                       reaches the other endpoint without re-reading the
-                       edge tables (pointer-chase friendly) */
-    int32_t *other; /* half-edge -> opposite node */
+    /* CSR adjacency workspace (sized for the largest group: n edges).
+     * Linked-list adjacency (the previous form) chased nxt[] pointers in
+     * edge-insertion order — one cache miss per hop at n = 2^17, and the
+     * route solve sat on the MSM critical path. CSR keeps every node's
+     * half-edges contiguous and pre-resolves the opposite endpoint. */
+    int32_t *start; /* 2r+1 prefix offsets */
+    int32_t *cur;   /* 2r walking cursors */
+    int32_t *adj;   /* 2n half-edges: (pos-in-grp << 1) | side */
+    int32_t *oth;   /* 2n opposite node per half-edge */
     uint8_t *used;  /* per edge in group */
 } ws;
 
 /* Assign alternating 0/1 bits along Euler circuits of the bipartite
  * multigraph formed by the m edges grp[0..m): left node row_s[e], right
  * node r + row_d(e) (row_d(e) = e >> cshift since e is the dest index). */
-static void euler_halve(ws *w, const int32_t *grp, int32_t m) {
-    const int32_t r = w->r, cshift = w->cshift;
+static void euler_halve(ws *w, const int32_t *uv, int32_t m) {
+    const int32_t r = w->r;
     int32_t nn = 2 * r;
-    for (int32_t i = 0; i < nn; i++) w->head[i] = -1;
+    int32_t *start = w->start, *cur = w->cur, *adj = w->adj, *oth = w->oth;
+    for (int32_t i = 0; i <= nn; i++) start[i] = 0;
     for (int32_t i = 0; i < m; i++) {
-        int32_t e = grp[i];
-        int32_t u = w->row_s[e];
-        int32_t v = r + (e >> cshift);
-        w->nxt[2 * i] = w->head[u];
-        w->head[u] = 2 * i;
-        w->einfo[2 * i] = i;
-        w->other[2 * i] = v;
-        w->nxt[2 * i + 1] = w->head[v];
-        w->head[v] = 2 * i + 1;
-        w->einfo[2 * i + 1] = i;
-        w->other[2 * i + 1] = u;
+        int32_t p = uv[i];
+        start[(p & 0xFFFF) + 1]++;
+        start[r + (p >> 16) + 1]++;
+    }
+    for (int32_t i = 0; i < nn; i++) start[i + 1] += start[i];
+    memcpy(cur, start, (size_t)nn * sizeof(int32_t));
+    for (int32_t i = 0; i < m; i++) {
+        int32_t p = uv[i];
+        int32_t u = p & 0xFFFF;
+        int32_t v = r + (p >> 16);
+        adj[cur[u]] = 2 * i;
+        oth[cur[u]++] = v;
+        adj[cur[v]] = 2 * i + 1;
+        oth[cur[v]++] = u;
         w->used[i] = 0;
     }
+    memcpy(cur, start, (size_t)nn * sizeof(int32_t));
     for (int32_t i0 = 0; i0 < m; i0++) {
         if (w->used[i0]) continue;
-        int32_t node = w->row_s[grp[i0]];
+        int32_t node = uv[i0] & 0xFFFF;
         int32_t parity = 0;
         for (;;) {
-            int32_t h = w->head[node];
-            while (h != -1 && w->used[w->einfo[h]]) h = w->nxt[h];
-            w->head[node] = h; /* skip-used compression */
-            if (h == -1) break; /* circuit closed (only possible at start) */
-            int32_t i = w->einfo[h];
+            int32_t p = cur[node];
+            const int32_t pend = start[node + 1];
+            while (p < pend && w->used[adj[p] >> 1]) p++;
+            cur[node] = p;
+            if (p == pend) break; /* circuit closed (only at start node) */
+            int32_t i = adj[p] >> 1;
             w->used[i] = 1;
             w->bits[i] = (uint8_t)parity;
             parity ^= 1;
-            node = w->other[h];
+            node = oth[p];
         }
     }
 }
@@ -90,8 +101,11 @@ static void euler_halve(ws *w, const int32_t *grp, int32_t m) {
 /* Color all n edges with c colors, distinct within every source row and
  * every dest row.  Iterative stack over (offset, m, k, colorbase). */
 static void color_edges(ws *w) {
-    const int32_t n = w->n, c = w->c;
-    for (int32_t e = 0; e < n; e++) w->grp[e] = e;
+    const int32_t n = w->n, c = w->c, cshift = w->cshift;
+    for (int32_t e = 0; e < n; e++) {
+        w->grp[e] = e;
+        w->uv[e] = w->row_s[e] | ((e >> cshift) << 16);
+    }
     if (c == 1) {
         memset(w->color, 0, (size_t)n * sizeof(int32_t));
         return;
@@ -110,15 +124,22 @@ static void color_edges(ws *w) {
             for (int32_t i = 0; i < f.m; i++) w->color[w->grp[f.off + i]] = f.base;
             continue;
         }
-        euler_halve(w, w->grp + f.off, f.m);
-        /* stable partition by bit into tmp, then copy back */
+        euler_halve(w, w->uv + f.off, f.m);
+        /* stable partition by bit into tmp (grp and uv move together) */
         int32_t lo = 0, hi = 0;
         for (int32_t i = 0; i < f.m; i++)
-            if (w->bits[i] == 0) w->tmp[lo++] = w->grp[f.off + i];
+            if (w->bits[i] == 0) {
+                w->tmp[lo] = w->grp[f.off + i];
+                w->uvtmp[lo++] = w->uv[f.off + i];
+            }
         hi = lo;
         for (int32_t i = 0; i < f.m; i++)
-            if (w->bits[i] != 0) w->tmp[hi++] = w->grp[f.off + i];
+            if (w->bits[i] != 0) {
+                w->tmp[hi] = w->grp[f.off + i];
+                w->uvtmp[hi++] = w->uv[f.off + i];
+            }
         memcpy(w->grp + f.off, w->tmp, (size_t)f.m * sizeof(int32_t));
+        memcpy(w->uv + f.off, w->uvtmp, (size_t)f.m * sizeof(int32_t));
         int32_t k2 = f.k / 2;
         stack[sp++] = (frame){f.off, lo, k2, f.base};
         stack[sp++] = (frame){f.off + lo, f.m - lo, k2, f.base + k2};
@@ -195,14 +216,17 @@ static PyObject *py_decompose(PyObject *self, PyObject *args) {
     w.bits = malloc((size_t)n);
     w.grp = malloc((size_t)n * sizeof(int32_t));
     w.tmp = malloc((size_t)n * sizeof(int32_t));
+    w.uv = malloc((size_t)n * sizeof(int32_t));
+    w.uvtmp = malloc((size_t)n * sizeof(int32_t));
     w.color = malloc((size_t)n * sizeof(int32_t));
-    w.head = malloc((size_t)(2 * r) * sizeof(int32_t));
-    w.nxt = malloc((size_t)(2 * n) * sizeof(int32_t));
-    w.einfo = malloc((size_t)(2 * n) * sizeof(int32_t));
-    w.other = malloc((size_t)(2 * n) * sizeof(int32_t));
+    w.start = malloc((size_t)(2 * r + 1) * sizeof(int32_t));
+    w.cur = malloc((size_t)(2 * r) * sizeof(int32_t));
+    w.adj = malloc((size_t)(2 * n) * sizeof(int32_t));
+    w.oth = malloc((size_t)(2 * n) * sizeof(int32_t));
     w.used = malloc((size_t)n);
-    int oom = !w.row_s || !w.col_s || !w.bits || !w.grp || !w.tmp ||
-              !w.color || !w.head || !w.nxt || !w.einfo || !w.other || !w.used;
+    int oom = !w.row_s || !w.col_s || !w.bits || !w.grp || !w.tmp || !w.uv ||
+              !w.uvtmp || !w.color || !w.start || !w.cur || !w.adj ||
+              !w.oth || !w.used;
     if (!oom) {
         const int32_t *src = (const int32_t *)buf.buf;
         int32_t *i1 = (int32_t *)PyBytes_AS_STRING(o1);
@@ -219,11 +243,13 @@ static PyObject *py_decompose(PyObject *self, PyObject *args) {
     free(w.bits);
     free(w.grp);
     free(w.tmp);
+    free(w.uv);
+    free(w.uvtmp);
     free(w.color);
-    free(w.head);
-    free(w.nxt);
-    free(w.einfo);
-    free(w.other);
+    free(w.start);
+    free(w.cur);
+    free(w.adj);
+    free(w.oth);
     free(w.used);
     PyBuffer_Release(&buf);
     if (oom) {

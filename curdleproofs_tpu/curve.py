@@ -12,6 +12,7 @@ multiplication runs through Jacobian coordinates to avoid per-step inversions.
 """
 from __future__ import annotations
 
+import os
 from typing import Iterable, List, Optional, Tuple
 
 from curdleproofs_tpu.fields import (
@@ -334,10 +335,32 @@ def compress_host_batch(points: List[G1]) -> bytes:
     return b"".join(p.to_compressed_bytes() for p in points)
 
 
+# Above this many points an unchecked batch decode routes to the device
+# sqrt kernel (ops.compress): the batched Fermat chain beats the native
+# per-point 381-bit sqrt (~20 us each) once the dispatch+transfer amortize.
+DECOMPRESS_DEVICE_MIN = int(
+    os.environ.get("CURDLEPROOFS_DECOMPRESS_DEVICE_MIN", str(1 << 13))
+)
+
+
 def decompress_host_batch(data: bytes, check: bool = False) -> List[G1]:
     """Decode len(data)/48 compressed points (ValueError on any bad one)."""
     if len(data) % 48 != 0:
         raise ValueError("compressed batch length must be a multiple of 48")
+    npts = len(data) // 48
+    if not check and npts >= DECOMPRESS_DEVICE_MIN:
+        from curdleproofs_tpu.ops import pallas_g1
+
+        if pallas_g1.enabled():
+            from curdleproofs_tpu.ops import compress as ocompress
+            from curdleproofs_tpu.utils.errors import SerdeError
+
+            try:
+                return ocompress.batch_decompress_to_host(
+                    [data[48 * i : 48 * i + 48] for i in range(npts)]
+                )
+            except SerdeError as e:
+                raise ValueError(str(e)) from e
     if _NAT is not None:
         return _dec_batch(*_NAT.decompress_batch(data, 1 if check else 0))
     dec = G1.from_compressed_bytes if check else G1.from_compressed_bytes_unchecked

@@ -215,7 +215,23 @@ def _shifted_acc(t, rows, offset: int, total: int):
     return t + jnp.concatenate(parts, axis=0)
 
 
+# In-kernel Montgomery-product formulation:
+#   "cols"  — round-2 form: two full-width shifted adds per partial product
+#   "cols2" — lo/hi halves combined into ONE (L+1)-row contribution block
+#             before the full-width placement add, and the reduction pivot
+#             carry deferred into the next step's contribution: ~40% fewer
+#             vector-add rows per product (measured on-TPU via
+#             benchmarks/micro_scan_sel.py)
+MULFORM = os.environ.get("CURDLEPROOFS_MULFORM", "cols2")
+
+
 def _mont_mul_cols(spec: FieldSpec, a, b):
+    if MULFORM == "cols2":
+        return _mont_mul_cols2(spec, a, b)
+    return _mont_mul_cols1(spec, a, b)
+
+
+def _mont_mul_cols1(spec: FieldSpec, a, b):
     """Same dataflow as _mont_mul_unrolled, but column accumulation happens
     on ONE (2L+1, *B) array with whole-vector shifted adds instead of .at[]
     scatters or per-column scalar graphs — Pallas-lowerable AND ~6x fewer
@@ -242,6 +258,49 @@ def _mont_mul_cols(spec: FieldSpec, a, b):
 
     res, carry = _ripple_carry(t[L : 2 * L])
     top = t[2 * L] + carry
+    d, brw = _sub_borrow(res, jnp.broadcast_to(modv, res.shape))
+    use_d = (top > 0) | (brw == 0)
+    return jnp.where(use_d, d, res)
+
+
+def _mont_mul_cols2(spec: FieldSpec, a, b):
+    """_mont_mul_cols with the lo/hi product halves combined into one
+    (L+1)-row contribution before the full-width placement (halves the
+    (2L+1)-row adds of the wide phase) and the reduction's pivot carry
+    DEFERRED: column i's carry rides into step i+1's m-computation and
+    contribution block instead of its own full-width add (drops the
+    reduction phase from 3 full-width adds per step to 1)."""
+    L = spec.nlimbs
+    n0inv = spec.n0inv
+    modv = _mod_vec(spec, a.ndim)
+    T = 2 * L + 1
+    zrow_shape = (1,) + a.shape[1:]
+
+    t = jnp.zeros((T,) + a.shape[1:], dtype=_U32)
+    for i in range(L):
+        p = a[i][None, ...] * b  # (L, *B)
+        zrow = jnp.zeros(zrow_shape, dtype=_U32)
+        contrib = jnp.concatenate([p & _MASK, zrow], axis=0) + jnp.concatenate(
+            [zrow, p >> _SHIFT], axis=0
+        )  # (L+1, *B)
+        t = _shifted_acc(t, contrib, i, T)
+
+    carry = jnp.zeros(a.shape[1:], dtype=_U32)
+    for i in range(L):
+        ti = t[i] + carry
+        m = (ti * n0inv) & _MASK
+        pm = m[None, ...] * modv  # (L, *B)
+        lo = pm & _MASK
+        hi = pm >> _SHIFT
+        # column i zeroes out: ti + lo[0] ≡ 0 (mod 2^16) by choice of m
+        carry = (ti + lo[0]) >> _SHIFT
+        zrow = jnp.zeros(zrow_shape, dtype=_U32)
+        contrib = jnp.concatenate([lo[1:], zrow], axis=0) + hi  # (L, *B)
+        t = _shifted_acc(t, contrib, i + 1, T)
+
+    cols = [t[L] + carry] + [t[L + j] for j in range(1, L)]
+    res, carry2 = _ripple_carry(cols)
+    top = t[2 * L] + carry2
     d, brw = _sub_borrow(res, jnp.broadcast_to(modv, res.shape))
     use_d = (top > 0) | (brw == 0)
     return jnp.where(use_d, d, res)
@@ -319,8 +378,58 @@ def _mont_finish(t, L, modv):
 
 def mont_sqr(spec: FieldSpec, a):
     if in_kernel(spec):
+        if MULFORM == "cols2":
+            return _mont_sqr_cols2(spec, a)
         return _mont_sqr_cols(spec, a)
     return mont_mul(spec, a, a)
+
+
+def _mont_sqr_cols2(spec: FieldSpec, a):
+    """_mont_sqr_cols with combined lo/hi contribution blocks and the
+    deferred reduction pivot carry (see _mont_mul_cols2)."""
+    L = spec.nlimbs
+    n0inv = spec.n0inv
+    modv = _mod_vec(spec, a.ndim)
+    T = 2 * L + 1
+    zrow_shape = (1,) + a.shape[1:]
+
+    t = jnp.zeros((T,) + a.shape[1:], dtype=_U32)
+    for i in range(L):
+        zrow = jnp.zeros(zrow_shape, dtype=_U32)
+        if i + 1 < L:
+            # off-diagonal: 2 * a_i * a_j for j > i, lo at 2i+1+r, hi at
+            # 2i+2+r -> one (L-i, *B) block placed at 2i+1
+            p = a[i][None, ...] * a[i + 1 :]
+            lo = (p & _MASK) << jnp.uint32(1)
+            hi = (p >> _SHIFT) << jnp.uint32(1)
+            contrib = jnp.concatenate([lo, zrow], axis=0) + jnp.concatenate(
+                [zrow, hi], axis=0
+            )
+            t = _shifted_acc(t, contrib, 2 * i + 1, T)
+        # diagonal a_i^2: lo at 2i, hi at 2i+1 -> one (2, *B) block
+        d = a[i] * a[i]
+        t = _shifted_acc(
+            t, jnp.stack([d & _MASK, d >> _SHIFT]), 2 * i, T
+        )
+
+    carry = jnp.zeros(a.shape[1:], dtype=_U32)
+    for i in range(L):
+        ti = t[i] + carry
+        m = (ti * n0inv) & _MASK
+        pm = m[None, ...] * modv
+        lo = pm & _MASK
+        hi = pm >> _SHIFT
+        carry = (ti + lo[0]) >> _SHIFT
+        zrow = jnp.zeros(zrow_shape, dtype=_U32)
+        contrib = jnp.concatenate([lo[1:], zrow], axis=0) + hi
+        t = _shifted_acc(t, contrib, i + 1, T)
+
+    cols = [t[L] + carry] + [t[L + j] for j in range(1, L)]
+    res, carry2 = _ripple_carry(cols)
+    top = t[2 * L] + carry2
+    d2, brw = _sub_borrow(res, jnp.broadcast_to(modv, res.shape))
+    use_d = (top > 0) | (brw == 0)
+    return jnp.where(use_d, d2, res)
 
 
 def _mont_sqr_cols(spec: FieldSpec, a):

@@ -106,14 +106,19 @@ def _combine_windows_host(
 
 
 def pick_window(n: int) -> int:
-    """Window size balancing scan work (2n per window) vs bucket reduce."""
+    """Window size balancing scan work (2n per window) vs bucket reduce.
+
+    For the GLV-split stream engine W = ceil(130/c), so c = 13 (W = 10)
+    beats c = 12 (W = 11) on every per-window cost — measured 0.39 s vs
+    0.46 s at n = 2^16 — and c = 15 (W = 9) wins once n amortizes the
+    2^15-bucket boundary tables."""
     if n <= 32:
         return 4
     if n <= 1024:
         return 8
     if n <= 1 << 16:
-        return 12
-    return 14
+        return 13
+    return 15
 
 
 def _pad_pow2_inputs(points: APoints, scalars: jnp.ndarray, min_width: int = 32):
@@ -432,17 +437,30 @@ def _stream_window_partials_routed(packed, i1, i2, i3, bidx, lidx, T: int, L: in
     return _stream_tail(g, bidx, lidx, T, L)
 
 
-@partial(jax.jit, static_argnames=("T", "L", "S", "shapes", "pack13"))
+@partial(
+    jax.jit, static_argnames=("T", "L", "S", "shapes", "pack", "cbits", "rbits")
+)
 def _stream_routed_sel_packed(
-    packed, buf, T: int, L: int, S: int, shapes, pack13: bool
+    packed, buf, T: int, L: int, S: int, shapes, pack: str,
+    cbits: int = 8, rbits: int = 9,
 ):
     """_stream_window_partials_routed_sel with ALL index tables packed into
     ONE flat int16 host buffer — the axon tunnel charges ~30 ms fixed
     latency per host->device transfer (measured) and host->device traffic
-    does NOT overlap device compute, so bytes are wall time. When the route
-    column factor c <= 256, the stage-1/3 tables (entries < c) ride as one
-    byte each inside a shared int16 row (pack13). shapes is a static tuple
-    of array shapes, decoded in order."""
+    does NOT overlap device compute, so bytes are wall time. shapes is a
+    static tuple of array shapes, decoded in order.
+
+    Index packing (pack):
+      "13":   route column factor c <= 256 — the stage-1/3 tables (entries
+              < c) ride one byte each inside a shared int16 row; i2 (< r)
+              rides a full int16. 4 B/record.
+      "32":   all three stage tables packed into one int32 as
+              i1 | i3 << cbits | i2 << 2*cbits (2*cbits + rbits <= 32,
+              which holds whenever n * c <= 2^32) shipped as int16 pairs.
+              4 B/record where the naive layout needs 6 — at n = 2^20 the
+              index stream is the single largest transfer, so this is
+              ~2 MB/window of wall time.
+      "none": three int16 tables (6 B/record, only when neither fits)."""
     arrs = []
     o = 0
     for shape in shapes:
@@ -451,11 +469,28 @@ def _stream_routed_sel_packed(
             cnt *= d
         arrs.append(jax.lax.slice(buf, (o,), (o + cnt,)).reshape(shape))
         o += cnt
-    if pack13:
+    if pack == "13":
         combo, i2, sel, bp_hi, bp_lo, lidx = arrs
         cb = jax.lax.bitcast_convert_type(combo, jnp.uint16).astype(jnp.int32)
         i1 = cb & 0xFF
         i3 = cb >> 8
+    elif pack == "32":
+        combo, sel, bp_hi, bp_lo, lidx = arrs
+        # combo (wb, r, 2c) int16 pairs -> (wb, r, c) u32 words -> fields;
+        # i2's (wb, c, r) layout was row-major-flattened into the word
+        # stream on the host, so it reshapes back after extraction
+        pairs = jax.lax.bitcast_convert_type(combo, jnp.uint16).reshape(
+            combo.shape[0], combo.shape[1], combo.shape[2] // 2, 2
+        )
+        v = jax.lax.bitcast_convert_type(pairs, jnp.uint32)
+        cmask = jnp.uint32((1 << cbits) - 1)
+        i1 = (v & cmask).astype(jnp.int32)
+        i3 = ((v >> jnp.uint32(cbits)) & cmask).astype(jnp.int32)
+        i2 = (
+            (v >> jnp.uint32(2 * cbits))
+            .astype(jnp.int32)
+            .reshape(v.shape[0], 1 << cbits, 1 << rbits)
+        )
     else:
         i1, i2, i3, sel, bp_hi, bp_lo, lidx = arrs
     # bpos spans up to T*S (> int16 at n >= 2^20), so it rides as hi/lo
@@ -509,6 +544,10 @@ def _routed_sel_body(packed, i1, i2, i3, sel, bpos, lidx, T: int, L: int, S: int
     bsums = oscan.tree_reduce_hybrid(boundary)  # (24, wb)
     return total, bsums, flags
 
+
+# largest route column factor whose stage-1/3 indices fit a single byte
+# (the "13" index packing); tests lower it to force the "32" packing.
+PACK13_MAX_C = 256
 
 # boundary-selection slot capacities per scan step, tried smallest first.
 # DISTINCT ranks per cell have mean occupancy (B-1)/T (~32 at L=512, c=12,
@@ -770,17 +809,20 @@ def _msm_stream_impl(
 
     if window_batch is None:
         if routed:
-            # three chunks: the 2-core host works through route solves at
-            # ~2 per step, so smaller chunks let the first dispatch start
-            # after fewer solves while later solves/transfers pipeline
-            # against device execution (measured best at 2^16 GLV W=11:
-            # wb=4 0.569 s vs wb=6 0.596 s vs wb=11 0.654 s; the single-
-            # readback tail removed most of the former per-chunk cost)
-            window_batch = max(1, min(W, (W + 2) // 3))
+            # uneven schedule: a SMALL first chunk (its route solves gate
+            # the first device dispatch — the whole pipeline's head
+            # latency), then 4-window chunks whose solves/packing overlap
+            # earlier chunks' device execution. Two compiled shapes.
+            window_batch = [2] + [4] * max(0, -(-(W - 2) // 4))
         else:
             # per-chunk live set: gathered records + full prefix table:
             # ~500 u32 rows per lane
             window_batch = max(1, min(W, (1 << 22) // max(n, 1)))
+    if isinstance(window_batch, int):
+        window_batch = [window_batch] * (-(-W // window_batch))
+    schedule = list(window_batch)
+    while sum(schedule[:-1]) >= W and len(schedule) > 1:
+        schedule.pop()
 
     # route solves are the chunk-0 critical path (the 2-core bench host
     # works through them at ~2/step): submit them BEFORE the remaining
@@ -809,7 +851,7 @@ def _msm_stream_impl(
 
         route_futs = [
             pool.submit(solve, order_cm[w : w + 1] if w < W else ident)
-            for w in range(-(-W // window_batch) * window_batch)
+            for w in range(sum(schedule))
         ]
         pool.shutdown(wait=False)
 
@@ -824,32 +866,33 @@ def _msm_stream_impl(
 
     pending = []  # (total, bsums) DEVICE handles; dispatches stay async so
     # chunk k+1's host prep/transfers overlap chunk k's device execution
-    for w0 in range(0, W, window_batch):
-        sl = slice(w0, w0 + window_batch)
+    starts = [sum(schedule[:i]) for i in range(len(schedule))]
+    for w0, cb in zip(starts, schedule):
+        sl = slice(w0, w0 + cb)
         ordc, bc, lc = order_cm[sl], bidx[sl], lidx[sl]
         wb = ordc.shape[0]
-        if wb != window_batch:  # keep a single compiled shape per (n, c)
-            pad = window_batch - wb
+        if wb != cb:  # keep one compiled shape per (n, c, chunk size)
+            pad = cb - wb
             ordc = np.concatenate(
                 [ordc, np.tile(np.arange(n, dtype=np.int32), (pad, 1))]
             )
             bc = np.concatenate([bc, np.full((pad, B - 1), -1, np.int32)])
             lc = np.concatenate([lc, np.full((pad, B - 1), -1, np.int32)])
         if routed:
-            parts = [f.result() for f in route_futs[w0 : w0 + window_batch]]
+            parts = [f.result() for f in route_futs[w0 : w0 + cb]]
             _dbg(f"chunk {w0}: solves ready")
             i1 = np.concatenate([p[0] for p in parts])
             i2 = np.concatenate([p[1] for p in parts])
             i3 = np.concatenate([p[2] for p in parts])
             if sel_all is not None:
-                sc_ = sel_all[w0 * T : (w0 + window_batch) * T]
+                sc_ = sel_all[w0 * T : (w0 + cb) * T]
                 bp_ = bpos_all[sl]
-                if sc_.shape[0] != window_batch * T:
+                if sc_.shape[0] != cb * T:
                     sc_ = np.concatenate(
                         [
                             sc_,
                             np.full(
-                                (window_batch * T - sc_.shape[0], S),
+                                (cb * T - sc_.shape[0], S),
                                 -1,
                                 np.int32,
                             ),
@@ -859,7 +902,7 @@ def _msm_stream_impl(
                         [
                             bp_,
                             np.full(
-                                (window_batch - bp_.shape[0], B - 1),
+                                (cb - bp_.shape[0], B - 1),
                                 -1,
                                 np.int32,
                             ),
@@ -870,13 +913,25 @@ def _msm_stream_impl(
                 # bpos may exceed int16 range -> hi/lo int15 halves, with
                 # empty (-1) encoded as the out-of-range T*S (gathers 0)
                 bp_enc = np.where(bp_ >= 0, bp_, T * S)
-                pack13 = rc <= 256  # stage-1/3 entries < c fit one byte
-                if pack13:
+                cbits = rc.bit_length() - 1
+                rbits = rr.bit_length() - 1
+                if rc <= PACK13_MAX_C:  # stage-1/3 entries fit one byte
+                    pack = "13"
                     combo = (
                         i1.astype(np.uint16) | (i3.astype(np.uint16) << 8)
                     ).view(np.int16)
                     idx_parts = (combo, i2)
+                elif 2 * cbits + rbits <= 32:
+                    pack = "32"
+                    v = (
+                        i1.astype(np.uint32)
+                        | (i3.astype(np.uint32) << cbits)
+                        | (i2.reshape(i1.shape).astype(np.uint32)
+                           << (2 * cbits))
+                    )
+                    idx_parts = (np.ascontiguousarray(v).view(np.int16),)
                 else:
+                    pack = "none"
                     idx_parts = (i1, i2, i3)
                 parts = idx_parts + (
                     sc_,
@@ -890,7 +945,8 @@ def _msm_stream_impl(
                 )
                 _dbg(f"chunk {w0}: packed ({buf.nbytes >> 10} KB)")
                 total, bsums, flags = _stream_routed_sel_packed(
-                    packed, jnp.asarray(buf), T, L, S, shapes, pack13
+                    packed, jnp.asarray(buf), T, L, S, shapes, pack,
+                    cbits, rbits,
                 )
                 _dbg(f"chunk {w0}: dispatched")
             else:
@@ -1075,6 +1131,11 @@ def _msm_ladder_device(points: APoints, scalars: jnp.ndarray) -> og.JPoints:
 # extraction alone costs ~100 dispatches — fatal at protocol sizes).
 LADDER_THRESHOLD = 2048
 
+# auto-dispatch: streaming Pippenger takes over from the fused ladder here
+# (ladder executes ~229 ops/lane vs the stream's ~25/lane at c=12; the
+# stream's fixed host-prep/transfer pipeline amortizes by ~2^14).
+STREAM_MIN = int(os.environ.get("CURDLEPROOFS_STREAM_MIN", str(1 << 14)))
+
 
 # Below this size exact host arithmetic beats a device dispatch round-trip
 # (e.g. the verifier's log(n)-sized L/R gamma combinations).
@@ -1104,8 +1165,22 @@ def msm(
     from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
 
     if method == "auto":
-        use_ladder = pallas_g1.enabled() or len(bases) > LADDER_THRESHOLD
-        method = "ladder" if use_ladder else "pippenger"
+        if pallas_g1.enabled():
+            # fused ladder for mid sizes (one dispatch, no host prep);
+            # streaming Pippenger once its ~5x-lower op count amortizes
+            # the sort/route/transfer pipeline (verdict r3 #4: the merged
+            # batch-verification MSM belongs on the stream engine)
+            method = "stream" if len(bases) >= STREAM_MIN else "ladder"
+        else:
+            # no fused kernels (CPU backend): the native C Pippenger beats
+            # the XLA looped-limb paths at EVERY size — routing large MSMs
+            # into the XLA ladder here used to cost minutes per call
+            from curdleproofs_tpu.curve import msm_host
+            from curdleproofs_tpu.utils.profiling import timed
+
+            n = len(bases)
+            with timed("msm.host", items=n, point_ops=383 * n):
+                return msm_host(list(bases), list(scalars))
     if method == "ladder" and pallas_g1.enabled():
         # pad on HOST to a multiple of the kernel tile so the whole protocol
         # hits a handful of compiled shapes, then one device dispatch; the

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from typing import ClassVar, List, NewType, Optional, Sequence, Tuple
 
 from curdleproofs_tpu.curve import (
+    DECOMPRESS_DEVICE_MIN,
     G1,
     G1_GENERATOR,
     compress_host_batch,
@@ -197,19 +198,75 @@ def AreValidWhiskShuffleProofs(
     extension): every proof's equations share ONE deferred MSM, so K
     epochs of shuffle proofs cost a single large multiexponentiation.
     All-or-nothing: returns False if ANY instance fails (callers that need
-    blame attribution fall back to per-proof IsValidWhiskShuffleProof)."""
+    blame attribution fall back to per-proof IsValidWhiskShuffleProof).
+
+    Per-proof work (tracker decompression — a 381-bit sqrt per point —
+    transcript replay, and the O(n) verification scalar math) dominates the
+    batch wall once the MSM is merged, so it runs across a thread pool: the
+    native decompress/MSM calls release the GIL and host cores parallelize
+    them. Per-thread MSMAccumulators are folded into one final deferred MSM
+    (soundness via the per-check random linear combination either way)."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
     from curdleproofs_tpu.protocol.primitives import MSMAccumulator
 
     try:
-        acc = MSMAccumulator()
         n = crs.ell + crs.n_blinders
-        for pre, post, proof_bytes in instances:
-            vec_R, vec_S = _tracker_columns(pre)
-            vec_T, vec_U = _tracker_columns(post)
+
+        # Decompress EVERY instance's tracker columns in one batched call
+        # when the K*4*ell total reaches device scale: one dispatch of the
+        # batched sqrt kernel (ops.compress) replaces K*4 native loops of
+        # per-point 381-bit sqrts — the single largest per-proof cost.
+        cols: Optional[List[List[G1]]] = None
+        total_pts = sum(len(pre) * 2 + len(post) * 2 for pre, post, _ in instances)
+        if total_pts >= DECOMPRESS_DEVICE_MIN:
+            blob = b"".join(
+                b"".join(t.r_G for t in pre)
+                + b"".join(t.k_r_G for t in pre)
+                + b"".join(t.r_G for t in post)
+                + b"".join(t.k_r_G for t in post)
+                for pre, post, _ in instances
+            )
+            flat = decompress_host_batch(blob)
+            cols = []
+            off = 0
+            for pre, post, _ in instances:
+                lp, lq = len(pre), len(post)
+                cols.append(
+                    [
+                        flat[off : off + lp],
+                        flat[off + lp : off + 2 * lp],
+                        flat[off + 2 * lp : off + 2 * lp + lq],
+                        flat[off + 2 * lp + lq : off + 2 * lp + 2 * lq],
+                    ]
+                )
+                off += 2 * lp + 2 * lq
+
+        def check_one(idx_inst):
+            idx, (pre, post, proof_bytes) = idx_inst
+            local = MSMAccumulator()
+            if cols is not None:
+                vec_R, vec_S, vec_T, vec_U = cols[idx]
+            else:
+                vec_R, vec_S = _tracker_columns(pre)
+                vec_T, vec_U = _tracker_columns(post)
             wrapped = WhiskShuffleProof.from_bytes(BufReader(proof_bytes), n)
             wrapped.proof.verify(
-                crs, vec_R, vec_S, vec_T, vec_U, wrapped.M, msm_accumulator=acc
+                crs, vec_R, vec_S, vec_T, vec_U, wrapped.M,
+                msm_accumulator=local,
             )
+            return local
+
+        workers = min(8, _os.cpu_count() or 1, max(1, len(instances)))
+        if workers > 1 and len(instances) > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                locals_ = list(pool.map(check_one, enumerate(instances)))
+        else:
+            locals_ = [check_one(i) for i in enumerate(instances)]
+        acc = MSMAccumulator()
+        for local in locals_:
+            acc.absorb(local)
         acc.verify()
         return True
     except Exception:

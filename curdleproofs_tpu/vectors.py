@@ -14,9 +14,10 @@ best execution engine by size:
     costs more than the math.
 
 `ScalarVec` is exact Fr arithmetic over NumPy object arrays (arbitrary
-precision, vectorized on host; big reductions like inner products can go
-through `ops.fr` device kernels). Both types are immutable — no in-place
-mutation hazards (the reference mutates prover inputs, ipa.py:107-109).
+precision, vectorized on host — protocol-sized scalar work is always
+host-latency-bound, so there is deliberately no device twin). Both types
+are immutable — no in-place mutation hazards (the reference mutates prover
+inputs, ipa.py:107-109).
 """
 from __future__ import annotations
 

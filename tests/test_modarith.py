@@ -110,3 +110,35 @@ def test_unrolled_path_matches_looped(spec):
     got = limbs_to_ints(ma._mont_mul_unrolled(spec, X, Y))
     assert got == [x * y * Rinv % p for x, y in zip(xs, ys)]
     assert got == limbs_to_ints(ma._mont_mul_looped(spec, X, Y))
+
+
+def test_in_kernel_mul_formulations_agree():
+    """_mont_mul_cols1 / _mont_mul_cols2 / _mont_sqr_cols / _mont_sqr_cols2
+    (the Pallas kernel-body forms) vs the host mont_mul on random inputs,
+    including edge values near the modulus."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from curdleproofs_tpu.ops.fieldspec import FQ_SPEC, ints_to_limbs, limbs_to_ints
+
+    rng_ = np.random.default_rng(11)
+    p = FQ_SPEC.modulus
+    vals_a = [0, 1, p - 1, p - 2, (p - 1) // 2] + [
+        int.from_bytes(rng_.bytes(47), "little") % p for _ in range(11)
+    ]
+    vals_b = [p - 1, 0, p - 1, 17, (p + 1) // 2] + [
+        int.from_bytes(rng_.bytes(47), "little") % p for _ in range(11)
+    ]
+    a = jnp.asarray(ints_to_limbs(vals_a, FQ_SPEC.nlimbs))
+    b = jnp.asarray(ints_to_limbs(vals_b, FQ_SPEC.nlimbs))
+    want_mul = limbs_to_ints(np.asarray(ma.mont_mul(FQ_SPEC, a, b)))
+    want_sqr = limbs_to_ints(np.asarray(ma.mont_mul(FQ_SPEC, a, a)))
+    with ma.mod_override(FQ_SPEC, jnp.asarray(FQ_SPEC.mod_limbs)):
+        got1 = limbs_to_ints(np.asarray(ma._mont_mul_cols1(FQ_SPEC, a, b)))
+        got2 = limbs_to_ints(np.asarray(ma._mont_mul_cols2(FQ_SPEC, a, b)))
+        gs1 = limbs_to_ints(np.asarray(ma._mont_sqr_cols(FQ_SPEC, a)))
+        gs2 = limbs_to_ints(np.asarray(ma._mont_sqr_cols2(FQ_SPEC, a)))
+    assert got1 == want_mul
+    assert got2 == want_mul
+    assert gs1 == want_sqr
+    assert gs2 == want_sqr

@@ -401,3 +401,25 @@ def test_msm_stream_glv_split_matches_oracle(monkeypatch):
     monkeypatch.setattr(omsm, "STREAM_GLV", False)
     got_plain = omsm.msm_pippenger_stream(og.pack_points(pts), sc_np, c=8)
     assert got_plain == want
+
+
+def test_msm_stream_pack32_matches_oracle(monkeypatch):
+    """The int32 index packing (i1|i3|i2 in one word — the n >= 2^20 wire
+    format) forced on at small size via a lowered PACK13_MAX_C."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops import stream_scan as ostream
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+    monkeypatch.setattr(omsm, "ROUTE_MIN_N", 256)
+    monkeypatch.setattr(omsm, "ROUTE_MIN_FACTOR", 8)
+    monkeypatch.setattr(omsm, "PACK13_MAX_C", 4)
+    monkeypatch.setattr(ostream, "_LANES", 32)
+    n = 260  # pads to 512 GLV lanes
+    pts = rand_points(n)
+    scs = rand_scalars(n)
+    sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
+    got = omsm.msm_pippenger_stream(
+        og.pack_points(pts), sc_np, c=9, window_batch=5, routed=True
+    )
+    assert got == msm_host(pts, scs)

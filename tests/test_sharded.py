@@ -71,3 +71,35 @@ def test_sharded_ladder_matches_oracle(d):
     scs = [Fr(rng.randrange(FR_MOD)) for _ in range(n - 1)] + [Fr(0)]
     mesh = make_mesh(d)
     assert msm_sharded_ladder(pts, scs, mesh=mesh) == msm_host(pts, scs)
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_sharded_stream_sel_production_path(monkeypatch, d):
+    """The PRODUCTION sharded stream path (per-shard GLV + routed gather +
+    flagged sel scan, shared with the unsharded engine) forced on at small
+    size, vs the host oracle and shard-count invariance."""
+    from curdleproofs_tpu.ops import msm as omsm
+    from curdleproofs_tpu.ops import stream_scan as ostream
+    from curdleproofs_tpu.parallel import msm as pmsm
+    from curdleproofs_tpu.parallel.msm import msm_sharded_stream
+
+    monkeypatch.setattr(omsm, "ROUTE_MIN_N", 64)
+    monkeypatch.setattr(omsm, "ROUTE_MIN_FACTOR", 8)
+    monkeypatch.setattr(ostream, "_LANES", 32)
+    n = d * 120  # pads to local=128 per shard -> 256 GLV lanes
+    pts, scs = rand_points(n), rand_scalars(n)
+    pts[0] = G1.identity()
+    scs[1] = Fr(0)
+    want = msm_host(pts, scs)
+
+    calls = {"sel": 0}
+    orig = pmsm._sharded_stream_sel
+
+    def spy(*a, **k):
+        calls["sel"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pmsm, "_sharded_stream_sel", spy)
+    got = msm_sharded_stream(pts, scs, mesh=make_mesh(d), c=8)
+    assert got == want
+    assert calls["sel"] == 1, "production sel path must engage"

@@ -117,3 +117,35 @@ def test_sponge_constructions_vs_hashlib():
         assert sponge.sha3_512(data) == hashlib.sha3_512(data).digest()
         assert sponge.shake128(data, 64) == hashlib.shake_128(data).digest(64)
         assert sponge.shake256(data, 200) == hashlib.shake_256(data).digest(200)
+
+
+def test_native_transcript_matches_python_twin(monkeypatch):
+    """The C merlin/STROBE engine vs the pure-Python Strobe128 path on a
+    mixed op sequence (writes, batch writes, byte reads, rejection-sampled
+    scalar draws) — transcripts must be bit-identical."""
+    import curdleproofs_tpu.transcript.oracle as om
+
+    if not om._NATIVE:
+        import pytest
+
+        pytest.skip("native transcript not built")
+
+    def drive(T):
+        t = T(b"equiv-test")
+        t.absorb(b"m", b"hello", b"world" * 40)
+        t.absorb_u64(b"u", 0xDEADBEEF)
+        out = [t.squeeze_bytes(b"c", 7), t.squeeze_bytes(b"c", 200)]
+        out += [s.v for s in t.scalars(b"vec", 40)]
+        t.absorb(b"m2", b"x" * 166)  # exactly one rate block
+        out.append(t.squeeze_bytes(b"c2", 32))
+        out.append(t.scalar(b"one").v)
+        return out
+
+    native = drive(om.Transcript)
+    monkeypatch.setattr(om, "_NATIVE", False)
+
+    class PyTranscript(om.Transcript):
+        pass
+
+    py = drive(PyTranscript)
+    assert native == py
