@@ -809,11 +809,12 @@ def _msm_stream_impl(
 
     if window_batch is None:
         if routed:
-            # uneven schedule: a SMALL first chunk (its route solves gate
-            # the first device dispatch — the whole pipeline's head
-            # latency), then 4-window chunks whose solves/packing overlap
-            # earlier chunks' device execution. Two compiled shapes.
-            window_batch = [2] + [4] * max(0, -(-(W - 2) // 4))
+            # uniform 4-window chunks: measured best at 2^16/L=512
+            # (0.332 s vs 0.376 s for a small-first [2,4,4] schedule —
+            # transfers don't overlap compute on this link, so a small
+            # first chunk only shrinks the head by ~30 ms while its
+            # worse tail chunk costs more; benchmarks/sweep_stream.py)
+            window_batch = 4
         else:
             # per-chunk live set: gathered records + full prefix table:
             # ~500 u32 rows per lane
