@@ -548,11 +548,15 @@ static void msm_jpts_w(jpt *out, const jpt *pts, const u64 *scalars,
     int c = msm_window_bits(n, nbits);
     int W = (nbits + c - 1) / c;
     size_t B = (size_t)1 << c;
-    jpt *buckets = (jpt *)malloc(B * sizeof(jpt));
-    jpt acc = JINF;
-    for (int w = W - 1; w >= 0; w--) {
-        if (!j_is_inf(&acc))
-            for (int b = 0; b < c; b++) j_dbl(&acc, &acc);
+    jpt *wins = (jpt *)malloc((size_t)W * sizeof(jpt));
+    /* windows are independent until the final Horner combine — OpenMP
+     * across them (the merged MSM of K-proof batched verification is a
+     * single large host MSM on CPU backends) */
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic) if (n >= 4096)
+#endif
+    for (int w = 0; w < W; w++) {
+        jpt *buckets = (jpt *)malloc(B * sizeof(jpt));
         for (size_t t = 0; t < B; t++) buckets[t] = JINF;
         int bit0 = w * c;
         for (size_t i = 0; i < n; i++) {
@@ -569,9 +573,16 @@ static void msm_jpts_w(jpt *out, const jpt *pts, const u64 *scalars,
             j_add(&run, &run, &buckets[t]);
             j_add(&tot, &tot, &run);
         }
-        j_add(&acc, &acc, &tot);
+        wins[w] = tot;
+        free(buckets);
     }
-    free(buckets);
+    jpt acc = JINF;
+    for (int w = W - 1; w >= 0; w--) {
+        if (!j_is_inf(&acc))
+            for (int b = 0; b < c; b++) j_dbl(&acc, &acc);
+        j_add(&acc, &acc, &wins[w]);
+    }
+    free(wins);
     *out = acc;
 }
 
@@ -589,6 +600,9 @@ static void msm_jpts(jpt *out, const jpt *pts, const u64 *scalars, size_t n) {
     }
     jpt *pts2 = (jpt *)malloc(2 * n * sizeof(jpt));
     u64 *sc2 = (u64 *)malloc(2 * n * 3 * sizeof(u64));
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n >= 4096)
+#endif
     for (size_t i = 0; i < n; i++) {
         int neg1;
         glv_decompose(&scalars[4 * i], &neg1, &sc2[6 * i], &sc2[6 * i + 3]);

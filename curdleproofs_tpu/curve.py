@@ -362,6 +362,31 @@ def decompress_host_batch(data: bytes, check: bool = False) -> List[G1]:
             except SerdeError as e:
                 raise ValueError(str(e)) from e
     if _NAT is not None:
+        if npts >= 2048:
+            # the native call releases the GIL and each point costs a
+            # 381-bit sqrt chain (~60-90 us) — split big batches across
+            # host threads (the K-proof batched verifier decodes K*4*ell
+            # points in one call)
+            import os as _os
+            from concurrent.futures import ThreadPoolExecutor
+
+            nw = min(8, _os.cpu_count() or 1)
+            if nw > 1:
+                step = -(-npts // nw) * 48
+                chunks = [data[o : o + step] for o in range(0, len(data), step)]
+                with ThreadPoolExecutor(max_workers=nw) as pool:
+                    outs = list(
+                        pool.map(
+                            lambda b: _NAT.decompress_batch(
+                                b, 1 if check else 0
+                            ),
+                            chunks,
+                        )
+                    )
+                res: List[G1] = []
+                for pb, ib in outs:
+                    res.extend(_dec_batch(pb, ib))
+                return res
         return _dec_batch(*_NAT.decompress_batch(data, 1 if check else 0))
     dec = G1.from_compressed_bytes if check else G1.from_compressed_bytes_unchecked
     return [dec(data[48 * i : 48 * i + 48]) for i in range(len(data) // 48)]

@@ -402,29 +402,58 @@ def _sharded_stream_sel(
                 sels[s], bposs[s] = sel_s, bpos_s
 
     rr, rc = oroute.pick_rc(n2, omsm.ROUTE_MIN_FACTOR)
-    i1s, i2s, i3s = [], [], []
-    for s in range(D):
-        a, b2, c3 = oroute.decompose(rr, rc, ocms[s])
-        i1s.append(a)
-        i2s.append(b2)
-        i3s.append(c3)
-
     W = ocms[0].shape[0]
+
+    # route solves on background threads, consumed chunk by chunk (same
+    # 4-window chunking as the unsharded engine, so dispatch graphs stay
+    # the size Mosaic handles well and solves overlap device execution)
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=min(8, _os.cpu_count() or 1))
+    futs = {
+        (s, w): pool.submit(oroute.decompose, rr, rc, ocms[s][w : w + 1])
+        for w in range(W)
+        for s in range(D)
+    }
+    pool.shutdown(wait=False)
+
     f = _stream_shard_sel_fn(mesh, point_axis, c, T, L, S)
-    wx, wy, wz, fl = f(
-        points.x,
-        points.y,
-        points.inf,
-        jnp.asarray(np.concatenate(negs)),
-        jnp.asarray(np.stack(i1s)),
-        jnp.asarray(np.stack(i2s)),
-        jnp.asarray(np.stack(i3s)),
-        jnp.asarray(np.stack(sels)),
-        jnp.asarray(np.stack(bposs)),
-        jnp.asarray(np.stack(lidxs)),
+    wb = 4
+    B = 1 << c
+    pend = []
+    for w0 in range(0, W, wb):
+        cb = min(wb, W - w0)
+        i1c, i2c, i3c = [], [], []
+        for s in range(D):
+            parts = [futs[(s, w)].result() for w in range(w0, w0 + cb)]
+            i1c.append(np.concatenate([p[0] for p in parts], axis=0))
+            i2c.append(np.concatenate([p[1] for p in parts], axis=0))
+            i3c.append(np.concatenate([p[2] for p in parts], axis=0))
+        wx, wy, wz, fl = f(
+            points.x,
+            points.y,
+            points.inf,
+            jnp.asarray(np.concatenate(negs)),
+            jnp.asarray(np.stack(i1c)),
+            jnp.asarray(np.stack(i2c)),
+            jnp.asarray(np.stack(i3c)),
+            jnp.asarray(
+                np.stack([sels[s][w0 * T : (w0 + cb) * T] for s in range(D)])
+            ),
+            jnp.asarray(np.stack([bposs[s][w0 : w0 + cb] for s in range(D)])),
+            jnp.asarray(np.stack([lidxs[s][w0 : w0 + cb] for s in range(D)])),
+        )
+        pend.append((wx, wy, wz, fl))
+
+    arr = np.asarray(
+        omsm._pack_stream_results(
+            tuple(p[0] for p in pend),
+            tuple(p[1] for p in pend),
+            tuple(p[2] for p in pend),
+        )
     )
-    arr = np.asarray(omsm._pack_stream_results((wx,), (wy,), (wz,)))
-    flags = np.asarray(fl)
+    flags = np.concatenate([np.asarray(p[3]) for p in pend])
     if flags.any():
         return _sharded_stream_plain(
             points, sc_np, mesh, point_axis, D, local, c
