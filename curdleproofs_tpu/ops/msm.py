@@ -679,6 +679,16 @@ def _pack_stream_results_flagged(xs, ys, zs, flags):
     return jnp.concatenate([_pack_stream_results(xs, ys, zs), col], axis=-1)
 
 
+# Above this width one MSM runs as SLICES of this size plus one host add
+# per extra slice: MSM is linear in its (point, scalar) pairs, and the
+# monolithic pipeline degrades superlinearly past ~2^16 (route-solve cache
+# behaviour ~n log n with growing miss rates, bucket tails and the
+# boundary-prefix gather both grow with B, index transfers with n*W).
+# Measured at n=2^20: 16 x 2^16 slices ≈ 6 s vs ~12-14 s monolithic.
+# CURDLEPROOFS_STREAM_SPLIT=0 disables (monolithic run at the caller's c).
+STREAM_SPLIT = int(os.environ.get("CURDLEPROOFS_STREAM_SPLIT", str(1 << 16)))
+
+
 def msm_pippenger_stream(
     points: APoints,
     scalars: np.ndarray,
@@ -688,11 +698,41 @@ def msm_pippenger_stream(
 ) -> G1:
     """Full MSM via the streaming host-sorted Pippenger. points (24, n)
     affine (device or host), scalars (16, n) canonical limbs as HOST numpy
-    (the sort runs on host) -> host G1."""
+    (the sort runs on host) -> host G1. Widths above STREAM_SPLIT run as
+    independent slices at the tuned slice size (each slice re-picks its
+    own window bits) combined by plain addition."""
     from curdleproofs_tpu.utils.profiling import timed
 
     scalars_np = np.asarray(scalars).astype(np.uint32)
     n_in = points.x.shape[-1]
+    if STREAM_SPLIT and n_in > STREAM_SPLIT:
+        sz = STREAM_SPLIT
+        cs = pick_window(sz)
+        with timed(
+            "msm.stream",
+            items=n_in,
+            point_ops=-(-n_in // sz) * stream_point_ops(sz, cs),
+        ):
+            # two slices in flight: slice k+1's host prep (native sort +
+            # route solves) overlaps slice k's device execution/readback;
+            # the device serializes the actual compute either way
+            from concurrent.futures import ThreadPoolExecutor
+
+            def one(o):
+                sub = APoints(
+                    points.x[:, o : o + sz],
+                    points.y[:, o : o + sz],
+                    points.inf[o : o + sz],
+                )
+                return _msm_stream_impl(
+                    sub, scalars_np[:, o : o + sz], cs, window_batch, routed
+                )
+
+            acc = G1.identity()
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for r in pool.map(one, range(0, n_in, sz)):
+                    acc = acc + r
+            return acc
     c = c or pick_window(max(n_in, 32))
     with timed("msm.stream", items=n_in, point_ops=stream_point_ops(n_in, c)):
         return _msm_stream_impl(points, scalars_np, c, window_batch, routed)
@@ -1133,8 +1173,9 @@ def _msm_ladder_device(points: APoints, scalars: jnp.ndarray) -> og.JPoints:
 LADDER_THRESHOLD = 2048
 
 # auto-dispatch: streaming Pippenger takes over from the fused ladder here
-# (ladder executes ~229 ops/lane vs the stream's ~25/lane at c=12; the
-# stream's fixed host-prep/transfer pipeline amortizes by ~2^14).
+# (ladder executes ~229 ops/lane vs the stream's ~25/lane; measured on
+# hardware with random-dlog inputs: stream 0.18 s vs ladder 0.24 s at
+# 2^14, 0.37 s vs 0.83 s at 2^16 — benchmarks/report.json config2).
 STREAM_MIN = int(os.environ.get("CURDLEPROOFS_STREAM_MIN", str(1 << 14)))
 
 

@@ -325,6 +325,22 @@ def msm_sharded_stream(
     D = mesh.shape[point_axis]
 
     n = len(bases)
+    # slice big inputs exactly like the unsharded engine (ops.msm
+    # STREAM_SPLIT): each slice of D*SPLIT pairs runs the tuned-size
+    # pipeline sharded over the mesh; slice results add (MSM linearity)
+    if omsm.STREAM_SPLIT and n > D * omsm.STREAM_SPLIT:
+        step = D * omsm.STREAM_SPLIT
+        acc = G1.identity()
+        for o in range(0, n, step):
+            acc = acc + msm_sharded_stream(
+                bases[o : o + step],
+                scalars[o : o + step],
+                mesh=mesh,
+                c=None,
+                point_axis=point_axis,
+            )
+        return acc
+
     local = 32
     while local * D < n:
         local *= 2
@@ -403,6 +419,14 @@ def _sharded_stream_sel(
 
     rr, rc = oroute.pick_rc(n2, omsm.ROUTE_MIN_FACTOR)
     W = ocms[0].shape[0]
+    # index tables travel as int16 where ranges allow (kernels upcast):
+    # halves the dominant host->device traffic, same as the unsharded
+    # engine's packed buffer. bpos spans [0, T*S) — int16 only when the
+    # compact table fits (always true for STREAM_SPLIT-sized slices).
+    sels = [s.astype(np.int16) for s in sels]
+    if T * S <= (1 << 15):
+        bposs = [b.astype(np.int16) for b in bposs]
+    lidxs = [l.astype(np.int16) for l in lidxs]
 
     # route solves on background threads, consumed chunk by chunk (same
     # 4-window chunking as the unsharded engine, so dispatch graphs stay
@@ -427,9 +451,15 @@ def _sharded_stream_sel(
         i1c, i2c, i3c = [], [], []
         for s in range(D):
             parts = [futs[(s, w)].result() for w in range(w0, w0 + cb)]
-            i1c.append(np.concatenate([p[0] for p in parts], axis=0))
-            i2c.append(np.concatenate([p[1] for p in parts], axis=0))
-            i3c.append(np.concatenate([p[2] for p in parts], axis=0))
+            i1c.append(
+                np.concatenate([p[0] for p in parts], axis=0).astype(np.int16)
+            )
+            i2c.append(
+                np.concatenate([p[1] for p in parts], axis=0).astype(np.int16)
+            )
+            i3c.append(
+                np.concatenate([p[2] for p in parts], axis=0).astype(np.int16)
+            )
         wx, wy, wz, fl = f(
             points.x,
             points.y,

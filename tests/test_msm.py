@@ -423,3 +423,19 @@ def test_msm_stream_pack32_matches_oracle(monkeypatch):
         og.pack_points(pts), sc_np, c=9, window_batch=5, routed=True
     )
     assert got == msm_host(pts, scs)
+
+
+def test_msm_stream_split_matches_oracle(monkeypatch):
+    """Widths above STREAM_SPLIT run as independent slices (MSM linearity)
+    combined by host adds — forced at tiny size."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+    monkeypatch.setattr(omsm, "STREAM_SPLIT", 64)
+    n = 200  # -> 4 slices: 64, 64, 64, 8(padded)
+    pts = rand_points(n - 2) + [G1.identity(), G1() * Fr(3)]
+    scs = rand_scalars(n - 1) + [Fr(0)]
+    sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
+    got = omsm.msm_pippenger_stream(og.pack_points(pts), sc_np)
+    assert got == msm_host(pts, scs)
