@@ -474,6 +474,32 @@ def _stream_routed_sel_packed(
         cb = jax.lax.bitcast_convert_type(combo, jnp.uint16).astype(jnp.int32)
         i1 = cb & 0xFF
         i3 = cb >> 8
+    elif pack in ("13a", "13b"):
+        # i2 low bytes ride int16 pairs ((wb, c, r/2) little-endian); the
+        # 9th bit (r <= 512) rides a 16-lane bitplane. 3.0-3.1 B/record
+        # where "13" ships 4.
+        if pack == "13b":
+            combo, i2lo, i2hi, sel, bp_hi, bp_lo, lidx = arrs
+        else:
+            combo, i2lo, sel, bp_hi, bp_lo, lidx = arrs
+        cb = jax.lax.bitcast_convert_type(combo, jnp.uint16).astype(jnp.int32)
+        i1 = cb & 0xFF
+        i3 = cb >> 8
+        wbv, cdim, rhalf = i2lo.shape
+        v = jax.lax.bitcast_convert_type(i2lo, jnp.uint16).astype(jnp.int32)
+        i2 = jnp.stack([v & 0xFF, v >> 8], axis=-1).reshape(
+            wbv, cdim, 2 * rhalf
+        )
+        if pack == "13b":
+            p = jax.lax.bitcast_convert_type(i2hi, jnp.uint16).astype(
+                jnp.int32
+            )
+            rdim = 2 * rhalf
+            bits = (
+                jnp.repeat(p, 16, axis=-1)
+                >> (jnp.arange(rdim, dtype=jnp.int32) % 16)
+            ) & 1
+            i2 = i2 | (bits << 8)
     elif pack == "32":
         combo, sel, bp_hi, bp_lo, lidx = arrs
         # combo (wb, r, 2c) int16 pairs -> (wb, r, c) u32 words -> fields;
@@ -956,7 +982,26 @@ def _msm_stream_impl(
                 bp_enc = np.where(bp_ >= 0, bp_, T * S)
                 cbits = rc.bit_length() - 1
                 rbits = rr.bit_length() - 1
-                if rc <= PACK13_MAX_C:  # stage-1/3 entries fit one byte
+                if rc <= PACK13_MAX_C and rr <= 512 and rr % 32 == 0:
+                    # stage-1/3 entries one byte each; i2 low byte +
+                    # (r > 256) a 9th-bit bitplane
+                    combo = (
+                        i1.astype(np.uint16) | (i3.astype(np.uint16) << 8)
+                    ).view(np.int16)
+                    lo = (i2 & 0xFF).astype(np.uint8)
+                    i2lo = np.ascontiguousarray(lo).view(np.int16)
+                    if rr > 256:
+                        pack = "13b"
+                        hb = (i2 >> 8).astype(np.uint16)
+                        hb16 = hb.reshape(hb.shape[0], hb.shape[1], -1, 16)
+                        plane = (
+                            hb16 << np.arange(16, dtype=np.uint16)
+                        ).sum(axis=-1, dtype=np.uint16).astype(np.uint16)
+                        idx_parts = (combo, i2lo, plane.view(np.int16))
+                    else:
+                        pack = "13a"
+                        idx_parts = (combo, i2lo)
+                elif rc <= PACK13_MAX_C:  # odd r: plain int16 i2
                     pack = "13"
                     combo = (
                         i1.astype(np.uint16) | (i3.astype(np.uint16) << 8)

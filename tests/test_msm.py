@@ -439,3 +439,34 @@ def test_msm_stream_split_matches_oracle(monkeypatch):
     sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
     got = omsm.msm_pippenger_stream(og.pack_points(pts), sc_np)
     assert got == msm_host(pts, scs)
+
+
+def test_msm_stream_pack13b_matches_oracle(monkeypatch):
+    """The i2 low-byte + 9th-bit-bitplane index packing ("13b", the
+    production 2^16-slice wire format with r = 512) forced at small size
+    by pinning the route factorization to r > 256."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops import route as oroute
+    from curdleproofs_tpu.ops import stream_scan as ostream
+    from curdleproofs_tpu.ops.fieldspec import ints_to_limbs
+
+    monkeypatch.setattr(omsm, "ROUTE_MIN_N", 256)
+    monkeypatch.setattr(omsm, "ROUTE_MIN_FACTOR", 8)
+    monkeypatch.setattr(ostream, "_LANES", 64)
+    orig_pick = oroute.pick_rc
+
+    def pick_rc_r512(n, min_factor=128):
+        if n == 2048:
+            return 512, 4  # force the 9-bit-i2 regime
+        return orig_pick(n, min_factor)
+
+    monkeypatch.setattr(oroute, "pick_rc", pick_rc_r512)
+    n = 1024  # GLV-doubles to 2048 lanes
+    pts = rand_points(n)
+    scs = rand_scalars(n)
+    sc_np = np.asarray(ints_to_limbs([s.v for s in scs], 16), dtype=np.uint32)
+    got = omsm.msm_pippenger_stream(
+        og.pack_points(pts), sc_np, c=13, window_batch=10, routed=True
+    )
+    assert got == msm_host(pts, scs)
