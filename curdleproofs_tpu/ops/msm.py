@@ -438,11 +438,13 @@ def _stream_window_partials_routed(packed, i1, i2, i3, bidx, lidx, T: int, L: in
 
 
 @partial(
-    jax.jit, static_argnames=("T", "L", "S", "shapes", "pack", "cbits", "rbits")
+    jax.jit,
+    static_argnames=("T", "L", "S", "shapes", "pack", "cbits", "rbits",
+                     "selpack", "bp16"),
 )
 def _stream_routed_sel_packed(
     packed, buf, T: int, L: int, S: int, shapes, pack: str,
-    cbits: int = 8, rbits: int = 9,
+    cbits: int = 8, rbits: int = 9, selpack: bool = False, bp16: bool = False,
 ):
     """_stream_window_partials_routed_sel with ALL index tables packed into
     ONE flat int16 host buffer — the axon tunnel charges ~30 ms fixed
@@ -460,7 +462,16 @@ def _stream_routed_sel_packed(
               4 B/record where the naive layout needs 6 — at n = 2^20 the
               index stream is the single largest transfer, so this is
               ~2 MB/window of wall time.
-      "none": three int16 tables (6 B/record, only when neither fits)."""
+      "none": three int16 tables (6 B/record, only when neither fits).
+
+    Table packing (independent of `pack`):
+      selpack: sel lane ids ride a low byte + 9th-bit bitplane (L <= 512;
+               9 + 1/16 bits/slot vs 16). Empty slots decode to lane 0 —
+               harmless, since only bpos-referenced bsel slots are ever
+               consumed downstream.
+      bp16:    bpos rides ONE u16 per boundary instead of hi/lo int15
+               halves (valid while T*S <= 65535; the empty sentinel T*S
+               still gathers the zero triple)."""
     arrs = []
     o = 0
     for shape in shapes:
@@ -469,8 +480,12 @@ def _stream_routed_sel_packed(
             cnt *= d
         arrs.append(jax.lax.slice(buf, (o,), (o + cnt,)).reshape(shape))
         o += cnt
+
+    def pop():
+        return arrs.pop(0)
+
     if pack == "13":
-        combo, i2, sel, bp_hi, bp_lo, lidx = arrs
+        combo, i2 = pop(), pop()
         cb = jax.lax.bitcast_convert_type(combo, jnp.uint16).astype(jnp.int32)
         i1 = cb & 0xFF
         i3 = cb >> 8
@@ -478,10 +493,8 @@ def _stream_routed_sel_packed(
         # i2 low bytes ride int16 pairs ((wb, c, r/2) little-endian); the
         # 9th bit (r <= 512) rides a 16-lane bitplane. 3.0-3.1 B/record
         # where "13" ships 4.
-        if pack == "13b":
-            combo, i2lo, i2hi, sel, bp_hi, bp_lo, lidx = arrs
-        else:
-            combo, i2lo, sel, bp_hi, bp_lo, lidx = arrs
+        combo, i2lo = pop(), pop()
+        i2hi = pop() if pack == "13b" else None
         cb = jax.lax.bitcast_convert_type(combo, jnp.uint16).astype(jnp.int32)
         i1 = cb & 0xFF
         i3 = cb >> 8
@@ -501,7 +514,7 @@ def _stream_routed_sel_packed(
             ) & 1
             i2 = i2 | (bits << 8)
     elif pack == "32":
-        combo, sel, bp_hi, bp_lo, lidx = arrs
+        combo = pop()
         # combo (wb, r, 2c) int16 pairs -> (wb, r, c) u32 words -> fields;
         # i2's (wb, c, r) layout was row-major-flattened into the word
         # stream on the host, so it reshapes back after extraction
@@ -518,10 +531,31 @@ def _stream_routed_sel_packed(
             .reshape(v.shape[0], 1 << cbits, 1 << rbits)
         )
     else:
-        i1, i2, i3, sel, bp_hi, bp_lo, lidx = arrs
-    # bpos spans up to T*S (> int16 at n >= 2^20), so it rides as hi/lo
-    # int15 halves; out-of-range values gather 0 (the identity triple)
-    bpos = bp_hi.astype(jnp.int32) * 32768 + bp_lo.astype(jnp.int32)
+        i1, i2, i3 = pop(), pop(), pop()
+    if selpack:
+        sel_lo, sel_hi = pop(), pop()
+        rows, shalf = sel_lo.shape
+        v = jax.lax.bitcast_convert_type(sel_lo, jnp.uint16).astype(jnp.int32)
+        sel = jnp.stack([v & 0xFF, v >> 8], axis=-1).reshape(rows, 2 * shalf)
+        p = jax.lax.bitcast_convert_type(sel_hi, jnp.uint16).astype(jnp.int32)
+        sdim = 2 * shalf
+        bits = (
+            jnp.repeat(p, 16, axis=-1)
+            >> (jnp.arange(sdim, dtype=jnp.int32) % 16)
+        ) & 1
+        sel = sel | (bits << 8)
+    else:
+        sel = pop()
+    if bp16:
+        bpos = jax.lax.bitcast_convert_type(pop(), jnp.uint16).astype(
+            jnp.int32
+        )
+    else:
+        # bpos spans up to T*S (> u16 at S = 256, T = 256), so it rides as
+        # hi/lo int15 halves; out-of-range values gather 0 (identity)
+        bp_hi, bp_lo = pop(), pop()
+        bpos = bp_hi.astype(jnp.int32) * 32768 + bp_lo.astype(jnp.int32)
+    lidx = pop()
     return _routed_sel_body(
         packed, i1, i2, i3, sel, bpos, lidx.astype(jnp.int32), T, L, S
     )
@@ -977,8 +1011,8 @@ def _msm_stream_impl(
                     )
                 # ONE flat int16 buffer per chunk: the tunnel's ~30 ms
                 # fixed per-transfer latency dominates six small arrays.
-                # bpos may exceed int16 range -> hi/lo int15 halves, with
-                # empty (-1) encoded as the out-of-range T*S (gathers 0)
+                # bpos empty (-1) encodes as the out-of-range T*S
+                # (gathers the zero triple = identity)
                 bp_enc = np.where(bp_ >= 0, bp_, T * S)
                 cbits = rc.bit_length() - 1
                 rbits = rr.bit_length() - 1
@@ -1019,12 +1053,35 @@ def _msm_stream_impl(
                 else:
                     pack = "none"
                     idx_parts = (i1, i2, i3)
-                parts = idx_parts + (
-                    sc_,
-                    (bp_enc >> 15).astype(np.int16),
-                    (bp_enc & 0x7FFF).astype(np.int16),
-                    lc,
-                )
+                # sel: lane ids < L; empty (-1) -> lane 0 (only bpos-
+                # referenced slots are consumed, so stray selections are
+                # dead weight, not errors). L <= 512 -> low byte + 9th-bit
+                # bitplane: 9.06 bits/slot instead of 16.
+                selpack = L <= 512 and S % 32 == 0
+                if selpack:
+                    se = np.where(sc_ >= 0, sc_, 0)
+                    slo = np.ascontiguousarray(
+                        (se & 0xFF).astype(np.uint8)
+                    ).view(np.int16)
+                    hb = (se >> 8).astype(np.uint16)
+                    hb16 = hb.reshape(hb.shape[0], -1, 16)
+                    shi = (
+                        (hb16 << np.arange(16, dtype=np.uint16))
+                        .sum(axis=-1, dtype=np.uint16)
+                        .view(np.int16)
+                    )
+                    sel_parts = (slo, shi)
+                else:
+                    sel_parts = (sc_,)
+                bp16 = T * S <= 65535
+                if bp16:
+                    bp_parts = (bp_enc.astype(np.uint16).view(np.int16),)
+                else:
+                    bp_parts = (
+                        (bp_enc >> 15).astype(np.int16),
+                        (bp_enc & 0x7FFF).astype(np.int16),
+                    )
+                parts = idx_parts + sel_parts + bp_parts + (lc,)
                 shapes = tuple(tuple(p.shape) for p in parts)
                 buf = np.concatenate(
                     [p.astype(np.int16).ravel() for p in parts]
@@ -1032,7 +1089,7 @@ def _msm_stream_impl(
                 _dbg(f"chunk {w0}: packed ({buf.nbytes >> 10} KB)")
                 total, bsums, flags = _stream_routed_sel_packed(
                     packed, jnp.asarray(buf), T, L, S, shapes, pack,
-                    cbits, rbits,
+                    cbits, rbits, selpack, bp16,
                 )
                 _dbg(f"chunk {w0}: dispatched")
             else:

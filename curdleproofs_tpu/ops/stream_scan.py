@@ -53,21 +53,67 @@ def _const_spec2():
     return _vspec((24, 3), lambda w, t: (0, 0))
 
 
+import os as _os
+
+# In-kernel Montgomery product form for the streaming scans ("cols2" or
+# "mxu"). "mxu" offloads the REDC by-constant products to the MXU as exact
+# banded bf16 dots (ops.modarith._mont_redc_mxu) — roughly half the VPU
+# work per mixed add, with the otherwise-idle MXU absorbing the dots.
+SCAN_MULFORM = _os.environ.get("CURDLEPROOFS_SCAN_MULFORM", "cols2")
+
+
+def _mxu_specs_args(form: str):
+    """Extra (specs, args) threading the banded REDC constant matrices into
+    a kernel when form == "mxu" (Pallas bans captured constant arrays)."""
+    if form != "mxu":
+        return [], ()
+    from curdleproofs_tpu.ops.fieldspec import FQ_SPEC
+
+    m1np, m2np = ma.mxu_mats_np(FQ_SPEC)
+    specs = [
+        _vspec(m1np.shape, lambda w, t: (0, 0)),
+        _vspec(m2np.shape, lambda w, t: (0, 0)),
+    ]
+    args = (
+        jnp.asarray(m1np, dtype=jnp.bfloat16),
+        jnp.asarray(m2np, dtype=jnp.bfloat16),
+    )
+    return specs, args
+
+
+def _mxu_override(form: str, mxu_refs):
+    """const_override kwargs for the matrices inside a kernel body."""
+    if form != "mxu":
+        return {}
+    m1_ref, m2_ref = mxu_refs
+    return {"fq_mxu1": m1_ref[...], "fq_mxu2": m2_ref[...]}
+
+
 @functools.lru_cache(maxsize=None)
-def _build_scan(W: int, T: int, L: int):
+def _build_scan(W: int, T: int, L: int, form: str = "cols2"):
     """pallas_call: records (49, 1, W*T*L) [x limbs 0-23, y 24-47, inf 48,
     flat pos = w*T*L + t*L + l = sorted rank l*T + t of window w] ->
     (prefix (72, 1, W*T*L) same layout [X|Y|Z limb rows], lane totals
     (72, 1, W*L))."""
 
-    def kernel(const_ref, rec_ref, pref_ref, tot_ref, accx, accy, accz):
+    def kernel(const_ref, *rest):
+        if form == "mxu":
+            mxu_refs, (rec_ref, pref_ref, tot_ref, accx, accy, accz) = (
+                rest[:2],
+                rest[2:],
+            )
+        else:
+            mxu_refs = ()
+            rec_ref, pref_ref, tot_ref, accx, accy, accz = rest
         t = pl.program_id(1)
         rec = rec_ref[...]
         x = rec[:24, 0, :]
         y = rec[24:48, 0, :]
         infv = rec[48, 0, :] != 0
-        with ma.force_unroll(), ma.const_override(
-            fq_mod=const_ref[:, 0], fq_one_mont=const_ref[:, 1]
+        with ma.force_unroll(), ma.mulform_override(form), ma.const_override(
+            fq_mod=const_ref[:, 0],
+            fq_one_mont=const_ref[:, 1],
+            **_mxu_override(form, mxu_refs),
         ):
             first = t == 0
             zeros = jnp.zeros_like(x)
@@ -87,14 +133,15 @@ def _build_scan(W: int, T: int, L: int):
         tot_ref[...] = out  # t is the minor grid axis: last write (t = T-1)
         # is the lane total
 
+    mxu_specs, mxu_args = _mxu_specs_args(form)
+
     def call(records):
         return pl.pallas_call(
             kernel,
             grid=(W, T),
-            in_specs=[
-                _const_spec2(),
-                _vspec((49, 1, L), lambda w, t: (0, 0, w * T + t)),
-            ],
+            in_specs=[_const_spec2()]
+            + mxu_specs
+            + [_vspec((49, 1, L), lambda w, t: (0, 0, w * T + t))],
             out_specs=[
                 _vspec((72, 1, L), lambda w, t: (0, 0, w * T + t)),
                 _vspec((72, 1, L), lambda w, t: (0, 0, w)),
@@ -107,13 +154,13 @@ def _build_scan(W: int, T: int, L: int):
                 [pltpu.VMEM((24, L), jnp.uint32)] * 3 if pltpu is not None else []
             ),
             interpret=_interpret(),
-        )(_consts_arr(), records)
+        )(_consts_arr(), *mxu_args, records)
 
     return call
 
 
 @functools.lru_cache(maxsize=None)
-def _build_scan_sel(W: int, T: int, L: int, S: int):
+def _build_scan_sel(W: int, T: int, L: int, S: int, form: str = "cols2"):
     """Scan kernel with in-step boundary selection: instead of writing the
     full (72, W*T*L) prefix vector to HBM (302 MB/window at n=2^20 — the
     dominant HBM cost) and gathering B-1 boundaries from it afterwards, the
@@ -133,16 +180,22 @@ def _build_scan_sel(W: int, T: int, L: int, S: int):
 
     records (49, 1, W*T*L) -> (bsel (72, 1, W*T*S), totals (80, 1, W*L))."""
 
-    def kernel(
-        const_ref, rec_ref, sel_ref, bsel_ref, tot_ref, accx, accy, accz, accf
-    ):
+    def kernel(const_ref, *rest):
+        if form == "mxu":
+            mxu_refs = rest[:2]
+            rest = rest[2:]
+        else:
+            mxu_refs = ()
+        rec_ref, sel_ref, bsel_ref, tot_ref, accx, accy, accz, accf = rest
         t = pl.program_id(1)
         rec = rec_ref[...]
         x = rec[:24, 0, :]
         y = rec[24:48, 0, :]
         infv = rec[48, 0, :] != 0
-        with ma.force_unroll(), ma.const_override(
-            fq_mod=const_ref[:, 0], fq_one_mont=const_ref[:, 1]
+        with ma.force_unroll(), ma.mulform_override(form), ma.const_override(
+            fq_mod=const_ref[:, 0],
+            fq_one_mont=const_ref[:, 1],
+            **_mxu_override(form, mxu_refs),
         ):
             first = t == 0
             zeros = jnp.zeros_like(x)
@@ -191,12 +244,15 @@ def _build_scan_sel(W: int, T: int, L: int, S: int):
             | (p[3] << jnp.uint32(24))
         ).reshape(72, 1, S)
 
+    mxu_specs, mxu_args = _mxu_specs_args(form)
+
     def call(records, sel):
         return pl.pallas_call(
             kernel,
             grid=(W, T),
-            in_specs=[
-                _const_spec2(),
+            in_specs=[_const_spec2()]
+            + mxu_specs
+            + [
                 _vspec((49, 1, L), lambda w, t: (0, 0, w * T + t)),
                 _vspec((1, 1, S), lambda w, t: (w * T + t, 0, 0)),
             ],
@@ -215,7 +271,7 @@ def _build_scan_sel(W: int, T: int, L: int, S: int):
                 else []
             ),
             interpret=_interpret(),
-        )(_consts_arr(), records, sel)
+        )(_consts_arr(), *mxu_args, records, sel)
 
     return call
 
@@ -260,7 +316,9 @@ def scan_records(records: jnp.ndarray, W: int, T: int, L: int):
 
 
 def scan_records_pallas(records: jnp.ndarray, W: int, T: int, L: int):
-    pref, tot = _build_scan(W, T, L)(records.reshape(49, 1, W * T * L))
+    pref, tot = _build_scan(W, T, L, SCAN_MULFORM)(
+        records.reshape(49, 1, W * T * L)
+    )
     return pref.reshape(72, W, T * L), tot.reshape(72, W, L)
 
 
@@ -278,7 +336,7 @@ def scan_records_sel(
     from curdleproofs_tpu.ops import pallas_g1
 
     if pallas_g1.enabled():
-        bs, tot = _build_scan_sel(W, T, L, S)(
+        bs, tot = _build_scan_sel(W, T, L, S, SCAN_MULFORM)(
             records.reshape(49, 1, W * T * L), sel.reshape(W * T, 1, S)
         )
         tot = tot.reshape(80, W, L)
