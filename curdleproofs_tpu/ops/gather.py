@@ -52,13 +52,39 @@ def _vspec(shape, index_map):
     return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
 
 
+def _byte_planes_bf16(t, planes: int):
+    """(R, K) u32 -> (planes*R, K) exact bf16 byte planes.
+
+    planes=4 covers full u32; planes=2 is exact whenever every table value
+    is < 2^16 — true for ALL the MSM's tables (field elements ride as
+    16-bit limbs in u32 containers, ops/fieldspec.py) — and HALVES the MXU
+    MAC count of every one-hot gather. Mosaic has no direct u32/bool ->
+    bf16 cast; route via i32 -> f32 (all values < 256, every hop exact)."""
+    ps = [(t >> jnp.uint32(8 * i)) & jnp.uint32(0xFF) for i in range(planes)]
+    return (
+        jnp.concatenate(ps, axis=0)
+        .astype(jnp.int32)
+        .astype(jnp.float32)
+        .astype(jnp.bfloat16)
+    )
+
+
+def _recombine_planes(acc, R: int, BM: int, planes: int):
+    """(planes*R, BM) f32 exact byte sums -> (R, BM) u32."""
+    p = acc.astype(jnp.int32).astype(jnp.uint32).reshape(planes, R, BM)
+    out = p[0]
+    for i in range(1, planes):
+        out = out | (p[i] << jnp.uint32(8 * i))
+    return out
+
+
 @functools.lru_cache(maxsize=None)
-def _build(R: int, W: int, N: int, M: int, BN: int, BM: int):
+def _build(R: int, W: int, N: int, M: int, BN: int, BM: int, P: int = 4):
     """pallas_call for batched one-hot gather.
 
     table (R, W, N) u32, idx (W, M) int32 -> out (R, W, M) u32.
     Grid (W, M/BM, N/BN), contraction axis minor so the f32 accumulator
-    scratch persists across it.
+    scratch persists across it. P = byte planes (see _byte_planes_bf16).
     """
     K = N // BN
 
@@ -70,20 +96,7 @@ def _build(R: int, W: int, N: int, M: int, BN: int, BM: int):
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         t = tab_ref[...].reshape(R, BN)
-        planes = [
-            (t & jnp.uint32(0xFF)),
-            ((t >> jnp.uint32(8)) & jnp.uint32(0xFF)),
-            ((t >> jnp.uint32(16)) & jnp.uint32(0xFF)),
-            ((t >> jnp.uint32(24)) & jnp.uint32(0xFF)),
-        ]
-        # Mosaic has no direct u32/bool -> bf16 cast; route via i32 -> f32
-        # (all values < 256, so every hop is exact)
-        a = (
-            jnp.concatenate(planes, axis=0)
-            .astype(jnp.int32)
-            .astype(jnp.float32)
-            .astype(jnp.bfloat16)
-        )  # (4R, BN)
+        a = _byte_planes_bf16(t, P)  # (P*R, BN)
         cols = lax.broadcasted_iota(jnp.int32, (BN, BM), 0) + k * BN
         idx = idx_ref[...].reshape(1, BM)
         # NOTE: a one-hot via f32 select + single bf16 cast measured only
@@ -97,21 +110,11 @@ def _build(R: int, W: int, N: int, M: int, BN: int, BM: int):
 
         @pl.when(k == K - 1)
         def _finish():
-            # f32 -> i32 -> u32 (values are exact byte sums < 256)
-            p = acc_ref[...].astype(jnp.int32).astype(jnp.uint32).reshape(4, R, BM)
-            out_ref[...] = (
-                p[0] | (p[1] << jnp.uint32(8)) | (p[2] << jnp.uint32(16))
-                | (p[3] << jnp.uint32(24))
-            ).reshape(R, 1, BM)
+            out_ref[...] = _recombine_planes(acc_ref[...], R, BM, P).reshape(
+                R, 1, BM
+            )
 
     grid = (W, M // BM, K)
-    scratch = (
-        [pltpu.VMEM((4 * R, BM), jnp.float32)]
-        if pltpu is not None
-        else [pl.BlockSpec(memory_space=None)]  # pragma: no cover
-    )
-    if pltpu is None:  # interpreter path: plain scratch shape
-        scratch = [jax.ShapeDtypeStruct((4 * R, BM), jnp.float32)]
 
     def call(table, idx):
         return pl.pallas_call(
@@ -124,7 +127,7 @@ def _build(R: int, W: int, N: int, M: int, BN: int, BM: int):
             out_specs=_vspec((R, 1, BM), lambda w, j, k: (0, w, j)),
             out_shape=jax.ShapeDtypeStruct((R, W, M), jnp.uint32),
             scratch_shapes=(
-                [pltpu.VMEM((4 * R, BM), jnp.float32)] if pltpu is not None else []
+                [pltpu.VMEM((P * R, BM), jnp.float32)] if pltpu is not None else []
             ),
             interpret=_interpret(),
         )(table, idx)
@@ -133,7 +136,7 @@ def _build(R: int, W: int, N: int, M: int, BN: int, BM: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_wlead(R: int, W: int, N: int, M: int, BN: int, BM: int):
+def _build_wlead(R: int, W: int, N: int, M: int, BN: int, BM: int, P: int = 4):
     """Batched one-hot gather with the window axis LEADING — the layout
     Mosaic's block constraints require when W > 1 (the last two block dims
     must be divisible by (8, 128) or equal to the array dims; a (R, 1, BN)
@@ -151,18 +154,7 @@ def _build_wlead(R: int, W: int, N: int, M: int, BN: int, BM: int):
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         t = tab_ref[...].reshape(R, BN)
-        planes = [
-            (t & jnp.uint32(0xFF)),
-            ((t >> jnp.uint32(8)) & jnp.uint32(0xFF)),
-            ((t >> jnp.uint32(16)) & jnp.uint32(0xFF)),
-            ((t >> jnp.uint32(24)) & jnp.uint32(0xFF)),
-        ]
-        a = (
-            jnp.concatenate(planes, axis=0)
-            .astype(jnp.int32)
-            .astype(jnp.float32)
-            .astype(jnp.bfloat16)
-        )
+        a = _byte_planes_bf16(t, P)
         cols = lax.broadcasted_iota(jnp.int32, (BN, BM), 0) + k * BN
         idx = idx_ref[...].reshape(1, BM)
         oh = jnp.where(
@@ -172,11 +164,9 @@ def _build_wlead(R: int, W: int, N: int, M: int, BN: int, BM: int):
 
         @pl.when(k == K - 1)
         def _finish():
-            p = acc_ref[...].astype(jnp.int32).astype(jnp.uint32).reshape(4, R, BM)
-            out_ref[...] = (
-                p[0] | (p[1] << jnp.uint32(8)) | (p[2] << jnp.uint32(16))
-                | (p[3] << jnp.uint32(24))
-            ).reshape(1, R, BM)
+            out_ref[...] = _recombine_planes(acc_ref[...], R, BM, P).reshape(
+                1, R, BM
+            )
 
     grid = (W, M // BM, K)
 
@@ -191,7 +181,7 @@ def _build_wlead(R: int, W: int, N: int, M: int, BN: int, BM: int):
             out_specs=_vspec((1, R, BM), lambda w, j, k: (w, 0, j)),
             out_shape=jax.ShapeDtypeStruct((W, R, M), jnp.uint32),
             scratch_shapes=(
-                [pltpu.VMEM((4 * R, BM), jnp.float32)] if pltpu is not None else []
+                [pltpu.VMEM((P * R, BM), jnp.float32)] if pltpu is not None else []
             ),
             interpret=_interpret(),
         )(table_wlead, idx_wlead)
@@ -199,12 +189,17 @@ def _build_wlead(R: int, W: int, N: int, M: int, BN: int, BM: int):
     return call
 
 
-def gather_u32(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def gather_u32(
+    table: jnp.ndarray, idx: jnp.ndarray, planes: int = 4
+) -> jnp.ndarray:
     """Batched exact u32 gather along the last axis via one-hot MXU matmuls.
 
     table: (R, W, N) uint32; idx: (W, M) int32 with values in [0, N) (or any
     out-of-range value to gather 0). Returns (R, W, M) uint32:
     out[r, w, j] = table[r, w, idx[w, j]].
+
+    planes=2 halves the MXU work and is exact iff every table value is
+    < 2^16 (the MSM's 16-bit-limb tables; see _byte_planes_bf16).
 
     Both tiled axes are padded to Mosaic-legal block multiples (table columns
     with zeros, indices with -1, which gathers 0).
@@ -221,16 +216,18 @@ def gather_u32(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         idx = jnp.pad(idx, ((0, 0), (0, Mp - M)), constant_values=-1)
     if W == 1:
         # (R, 1, BN) blocks are legal when the W dim is 1 (block == array dim)
-        out = _build(R, W, Np, Mp, BN, BM)(table, idx.astype(jnp.int32))
+        out = _build(R, W, Np, Mp, BN, BM, planes)(table, idx.astype(jnp.int32))
         return out[:, :, :M]
     # W > 1: window-leading layout (one cheap transpose each way)
-    out = _build_wlead(R, W, Np, Mp, BN, BM)(
+    out = _build_wlead(R, W, Np, Mp, BN, BM, planes)(
         jnp.transpose(table, (1, 0, 2)), idx.astype(jnp.int32)[:, None, :]
     )
     return jnp.transpose(out, (1, 0, 2))[:, :, :M]
 
 
-def gather_u32_shared(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def gather_u32_shared(
+    table: jnp.ndarray, idx: jnp.ndarray, planes: int = 4
+) -> jnp.ndarray:
     """Gather with one shared table: table (R, N), idx (W, M) -> (R, W, M).
 
     Flattens the W windows into the M axis of a single unbatched kernel call
@@ -238,7 +235,7 @@ def gather_u32_shared(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     contraction at N x (W*M) instead of re-streaming per window)."""
     R, N = table.shape
     W, M = idx.shape
-    flat = gather_u32(table[:, None, :], idx.reshape(1, W * M))
+    flat = gather_u32(table[:, None, :], idx.reshape(1, W * M), planes)
     return flat.reshape(R, W, M)
 
 
@@ -265,7 +262,7 @@ def gather_u32_xla(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_rowwise(R: int, G: int, K: int, M: int, GB: int, BM: int):
+def _build_rowwise(R: int, G: int, K: int, M: int, GB: int, BM: int, P: int = 4):
     """Row-local batched one-hot gather.
 
     table (G, R, K) u32, idx (G, 1, M) i32 -> out (G, R, M) u32 with
@@ -273,24 +270,13 @@ def _build_rowwise(R: int, G: int, K: int, M: int, GB: int, BM: int):
 
     The contraction width K fits one block (K <= 512 always: it is r or c of
     the routing), so there is no accumulator scratch; each grid step handles
-    GB groups with an unrolled loop of (4R, K) @ (K, BM) exact-bf16 dots.
+    GB groups with an unrolled loop of (P*R, K) @ (K, BM) exact-bf16 dots.
     """
 
     def kernel(tab_ref, idx_ref, out_ref):
         for g in range(GB):
             t = tab_ref[g]  # (R, K)
-            planes = [
-                (t & jnp.uint32(0xFF)),
-                ((t >> jnp.uint32(8)) & jnp.uint32(0xFF)),
-                ((t >> jnp.uint32(16)) & jnp.uint32(0xFF)),
-                ((t >> jnp.uint32(24)) & jnp.uint32(0xFF)),
-            ]
-            a = (
-                jnp.concatenate(planes, axis=0)
-                .astype(jnp.int32)
-                .astype(jnp.float32)
-                .astype(jnp.bfloat16)
-            )  # (4R, K)
+            a = _byte_planes_bf16(t, P)  # (P*R, K)
             rows = lax.broadcasted_iota(jnp.int32, (K, BM), 0)
             oh = (
                 (rows == idx_ref[g].reshape(1, BM))
@@ -299,11 +285,7 @@ def _build_rowwise(R: int, G: int, K: int, M: int, GB: int, BM: int):
                 .astype(jnp.bfloat16)
             )  # (K, BM)
             acc = jnp.dot(a, oh, preferred_element_type=jnp.float32)
-            p = acc.astype(jnp.int32).astype(jnp.uint32).reshape(4, R, BM)
-            out_ref[g] = (
-                p[0] | (p[1] << jnp.uint32(8)) | (p[2] << jnp.uint32(16))
-                | (p[3] << jnp.uint32(24))
-            )
+            out_ref[g] = _recombine_planes(acc, R, BM, P)
 
     grid = (G // GB, M // BM)
 
@@ -323,9 +305,12 @@ def _build_rowwise(R: int, G: int, K: int, M: int, GB: int, BM: int):
     return call
 
 
-def rowwise_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def rowwise_gather(
+    table: jnp.ndarray, idx: jnp.ndarray, planes: int = 4
+) -> jnp.ndarray:
     """Batched row-local gather: table (G, R, K) u32, idx (G, M) i32 ->
     (G, R, M) u32, out[g, :, m] = table[g, :, idx[g, m]] (out-of-range -> 0).
+    planes=2 is exact iff all table values < 2^16 (_byte_planes_bf16).
     """
     G, R, K = table.shape
     G2, M = idx.shape
@@ -340,19 +325,23 @@ def rowwise_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     GB = max(1, min(G, (6 << 20) // (R * (K + BM) * 4)))
     while G % GB:
         GB -= 1
-    return _build_rowwise(R, G, K, M, GB, BM)(table, idx[:, None, :])
+    return _build_rowwise(R, G, K, M, GB, BM, planes)(table, idx[:, None, :])
 
 
 def routed_gather(
-    packed: jnp.ndarray, i1: jnp.ndarray, i2: jnp.ndarray, i3: jnp.ndarray
+    packed: jnp.ndarray,
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    i3: jnp.ndarray,
+    planes: int = 4,
 ) -> jnp.ndarray:
     """Permutation gather of a shared table via 3-stage routing tables.
 
     packed (R, n) u32; i1 (W, r, c), i2 (W, c, r), i3 (W, r, c) int32 from
     ops.route.decompose. Returns (R, W, n) u32 with
     out[:, w, a2*c + b] = packed[:, src_w[a2*c + b]] for the permutation
-    src_w the tables encode. MAC cost 4R*n*(2c + r) vs the direct gather's
-    4R*n*n.
+    src_w the tables encode. MAC cost planes*R*n*(2c + r) vs the direct
+    gather's planes*R*n*n. planes=2 is exact iff all values < 2^16.
     """
     R, n = packed.shape
     W, r, c = i1.shape
@@ -361,11 +350,11 @@ def routed_gather(
     # each source row at once (bigger M per group, no table broadcast)
     tab1 = packed.reshape(R, r, c).transpose(1, 0, 2)  # (r, R, c)
     idx1 = i1.transpose(1, 0, 2).reshape(r, W * c)
-    s1 = rowwise_gather(tab1, idx1)  # (r, R, W*c): s1[a, :, (w,j)]
+    s1 = rowwise_gather(tab1, idx1, planes)  # (r, R, W*c): s1[a, :, (w,j)]
     # stage 2 table: X2[(w,j), :, a] = s1[a, :, (w,j)]
     tab2 = s1.reshape(r, R, W, c).transpose(2, 3, 1, 0).reshape(W * c, R, r)
-    s2 = rowwise_gather(tab2, i2.reshape(W * c, r))  # (W*c, R, r)
+    s2 = rowwise_gather(tab2, i2.reshape(W * c, r), planes)  # (W*c, R, r)
     # stage 3 table: X3[(w,a2), :, j] = s2[(w,j), :, a2]
     tab3 = s2.reshape(W, c, R, r).transpose(0, 3, 2, 1).reshape(W * r, R, c)
-    s3 = rowwise_gather(tab3, i3.reshape(W * r, c))  # (W*r, R, c)
+    s3 = rowwise_gather(tab3, i3.reshape(W * r, c), planes)  # (W*r, R, c)
     return s3.reshape(W, r, R, c).transpose(2, 0, 1, 3).reshape(R, W, n)

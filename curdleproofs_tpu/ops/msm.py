@@ -239,11 +239,11 @@ def _hostsort_window_partials(packed, order, e, mask, c: int):
     """
     from curdleproofs_tpu.ops import gather as ogather
 
-    g = ogather.gather_u32_shared(packed, order)  # (49, wb, n)
+    g = ogather.gather_u32_shared(packed, order, planes=2)  # (49, wb, n)
     pts = APoints(g[:24], g[24:48], g[48] != 0)
     P = oscan.inclusive_scan(og.lift(pts))  # (24, wb, n) prefix sums
     btab = jnp.concatenate([P.x, P.y, P.z], axis=0)  # (72, wb, n)
-    bg = ogather.gather_u32(btab, e)  # (72, wb, B-1)
+    bg = ogather.gather_u32(btab, e, planes=2)  # (72, wb, B-1)
     boundary = og.jselect(
         mask, JPoints(bg[:24], bg[24:48], bg[48:]), oscan.jinf(e.shape)
     )
@@ -419,7 +419,7 @@ def _stream_window_partials(packed, idx_cm, bidx, lidx, T: int, L: int):
     (24, wb))."""
     from curdleproofs_tpu.ops import gather as ogather
 
-    g = ogather.gather_u32_shared(packed, idx_cm)  # (49, wb, n)
+    g = ogather.gather_u32_shared(packed, idx_cm, planes=2)  # (49, wb, n)
     return _stream_tail(g, bidx, lidx, T, L)
 
 
@@ -433,7 +433,7 @@ def _stream_window_partials_routed(packed, i1, i2, i3, bidx, lidx, T: int, L: in
     from curdleproofs_tpu.ops import gather as ogather
 
     i1, i2, i3 = (a.astype(jnp.int32) for a in (i1, i2, i3))
-    g = ogather.routed_gather(packed, i1, i2, i3)  # (49, wb, n)
+    g = ogather.routed_gather(packed, i1, i2, i3, planes=2)  # (49, wb, n)
     return _stream_tail(g, bidx, lidx, T, L)
 
 
@@ -472,6 +472,20 @@ def _stream_routed_sel_packed(
       bp16:    bpos rides ONE u16 per boundary instead of hi/lo int15
                halves (valid while T*S <= 65535; the empty sentinel T*S
                still gathers the zero triple)."""
+    i1, i2, i3, sel, bpos, lidx = _decode_packed_tables(
+        buf, shapes, pack, cbits, rbits, selpack, bp16
+    )
+    return _routed_sel_body(packed, i1, i2, i3, sel, bpos, lidx, T, L, S)
+
+
+def _decode_packed_tables(
+    buf, shapes, pack: str, cbits: int, rbits: int, selpack: bool, bp16: bool
+):
+    """In-graph decode of the flat int16 index buffer built by
+    _pack_idx_chunk: returns (i1, i2, i3, sel, bpos, lidx) int32 arrays.
+    Shared by the unsharded engine (_stream_routed_sel_packed) and the
+    sharded shard_map kernel (parallel.msm), so both pay ONE host->device
+    transfer per chunk."""
     arrs = []
     o = 0
     for shape in shapes:
@@ -555,10 +569,8 @@ def _stream_routed_sel_packed(
         # hi/lo int15 halves; out-of-range values gather 0 (identity)
         bp_hi, bp_lo = pop(), pop()
         bpos = bp_hi.astype(jnp.int32) * 32768 + bp_lo.astype(jnp.int32)
-    lidx = pop()
-    return _routed_sel_body(
-        packed, i1, i2, i3, sel, bpos, lidx.astype(jnp.int32), T, L, S
-    )
+    lidx = pop().astype(jnp.int32)
+    return i1, i2, i3, sel, bpos, lidx
 
 
 @partial(jax.jit, static_argnames=("T", "L", "S"))
@@ -585,7 +597,7 @@ def _routed_sel_body(packed, i1, i2, i3, sel, bpos, lidx, T: int, L: int, S: int
     wb = i1.shape[0]
     i1, i2, i3 = (a.astype(jnp.int32) for a in (i1, i2, i3))
     sel = sel.astype(jnp.int32)
-    g = ogather.routed_gather(packed, i1, i2, i3)  # (49, wb, n)
+    g = ogather.routed_gather(packed, i1, i2, i3, planes=2)  # (49, wb, n)
     bsel, totals, flags = ostream.scan_records_sel(
         g.reshape(49, wb * T * L), sel, wb, T, L, S
     )
@@ -596,8 +608,8 @@ def _routed_sel_body(packed, i1, i2, i3, sel, bpos, lidx, T: int, L: int, S: int
         lane_scan.x[:, 0, L - 1], lane_scan.y[:, 0, L - 1], lane_scan.z[:, 0, L - 1]
     )
     lane_tab = jnp.concatenate([lane_scan.x, lane_scan.y, lane_scan.z], axis=0)
-    bl = ogather.gather_u32(bsel, bpos)  # (72, wb, B-1) local prefixes
-    lo = ogather.gather_u32(lane_tab, lidx)  # (72, wb, B-1) lane offsets
+    bl = ogather.gather_u32(bsel, bpos, planes=2)  # (72, wb, B-1) local prefixes
+    lo = ogather.gather_u32(lane_tab, lidx, planes=2)  # (72, wb, B-1) lane offsets
     boundary = og.jadd(
         JPoints(bl[:24], bl[24:48], bl[48:]), JPoints(lo[:24], lo[24:48], lo[48:])
     )
@@ -676,8 +688,8 @@ def _stream_tail(g, bidx, lidx, T: int, L: int):
         lane_scan.x[:, 0, L - 1], lane_scan.y[:, 0, L - 1], lane_scan.z[:, 0, L - 1]
     )
     lane_tab = jnp.concatenate([lane_scan.x, lane_scan.y, lane_scan.z], axis=0)
-    bl = ogather.gather_u32(prefix, bidx)  # (72, wb, B-1) local prefixes
-    lo = ogather.gather_u32(lane_tab, lidx)  # (72, wb, B-1) lane offsets
+    bl = ogather.gather_u32(prefix, bidx, planes=2)  # (72, wb, B-1) local prefixes
+    lo = ogather.gather_u32(lane_tab, lidx, planes=2)  # (72, wb, B-1) lane offsets
     boundary = og.jadd(
         JPoints(bl[:24], bl[24:48], bl[48:]), JPoints(lo[:24], lo[24:48], lo[48:])
     )
@@ -737,6 +749,87 @@ def _pack_stream_results_flagged(xs, ys, zs, flags):
     f = jnp.concatenate([jnp.atleast_1d(fl) for fl in flags])
     col = jnp.zeros((72,), jnp.uint32).at[: f.shape[0]].set(f).reshape(72, 1)
     return jnp.concatenate([_pack_stream_results(xs, ys, zs), col], axis=-1)
+
+
+def _pack_idx_chunk(i1, i2, i3, sc_, bp_, lc, rr, rc, T: int, L: int, S: int):
+    """Pack one window chunk's index tables into ONE flat int16 host buffer
+    — the axon tunnel charges ~30 ms fixed latency per host->device
+    transfer, so six small arrays cost ~6x one big one. Returns
+    (buf, shapes, pack, cbits, rbits, selpack, bp16); the device-side
+    inverse is _decode_packed_tables. Shared by the unsharded engine and
+    the sharded per-shard path (parallel.msm).
+
+    bpos empty (-1) encodes as the out-of-range T*S (gathers the zero
+    triple = identity)."""
+    bp_enc = np.where(bp_ >= 0, bp_, T * S)
+    cbits = rc.bit_length() - 1
+    rbits = rr.bit_length() - 1
+    if rc <= PACK13_MAX_C and rr <= 512 and rr % 32 == 0:
+        # stage-1/3 entries one byte each; i2 low byte +
+        # (r > 256) a 9th-bit bitplane
+        combo = (
+            i1.astype(np.uint16) | (i3.astype(np.uint16) << 8)
+        ).view(np.int16)
+        lo = (i2 & 0xFF).astype(np.uint8)
+        i2lo = np.ascontiguousarray(lo).view(np.int16)
+        if rr > 256:
+            pack = "13b"
+            hb = (i2 >> 8).astype(np.uint16)
+            hb16 = hb.reshape(hb.shape[0], hb.shape[1], -1, 16)
+            plane = (
+                hb16 << np.arange(16, dtype=np.uint16)
+            ).sum(axis=-1, dtype=np.uint16).astype(np.uint16)
+            idx_parts = (combo, i2lo, plane.view(np.int16))
+        else:
+            pack = "13a"
+            idx_parts = (combo, i2lo)
+    elif rc <= PACK13_MAX_C:  # odd r: plain int16 i2
+        pack = "13"
+        combo = (
+            i1.astype(np.uint16) | (i3.astype(np.uint16) << 8)
+        ).view(np.int16)
+        idx_parts = (combo, i2)
+    elif 2 * cbits + rbits <= 32:
+        pack = "32"
+        v = (
+            i1.astype(np.uint32)
+            | (i3.astype(np.uint32) << cbits)
+            | (i2.reshape(i1.shape).astype(np.uint32) << (2 * cbits))
+        )
+        idx_parts = (np.ascontiguousarray(v).view(np.int16),)
+    else:
+        pack = "none"
+        idx_parts = (i1, i2, i3)
+    # sel: lane ids < L; empty (-1) -> lane 0 (only bpos-
+    # referenced slots are consumed, so stray selections are
+    # dead weight, not errors). L <= 512 -> low byte + 9th-bit
+    # bitplane: 9.06 bits/slot instead of 16.
+    selpack = L <= 512 and S % 32 == 0
+    if selpack:
+        se = np.where(sc_ >= 0, sc_, 0)
+        slo = np.ascontiguousarray((se & 0xFF).astype(np.uint8)).view(np.int16)
+        hb = (se >> 8).astype(np.uint16)
+        hb16 = hb.reshape(hb.shape[0], -1, 16)
+        shi = (
+            (hb16 << np.arange(16, dtype=np.uint16))
+            .sum(axis=-1, dtype=np.uint16)
+            .view(np.int16)
+        )
+        sel_parts = (slo, shi)
+    else:
+        sel_parts = (sc_,)
+    bp16 = T * S <= 65535
+    if bp16:
+        bp_parts = (bp_enc.astype(np.uint16).view(np.int16),)
+    else:
+        bp_parts = (
+            (bp_enc >> 15).astype(np.int16),
+            (bp_enc & 0x7FFF).astype(np.int16),
+        )
+    parts = idx_parts + sel_parts + bp_parts + (lc,)
+    shapes = tuple(tuple(p.shape) for p in parts)
+    buf = np.concatenate([p.astype(np.int16).ravel() for p in parts])
+    return buf, shapes, pack, cbits, rbits, selpack, bp16
 
 
 # Above this width one MSM runs as SLICES of this size plus one host add
@@ -1009,82 +1102,8 @@ def _msm_stream_impl(
                             ),
                         ]
                     )
-                # ONE flat int16 buffer per chunk: the tunnel's ~30 ms
-                # fixed per-transfer latency dominates six small arrays.
-                # bpos empty (-1) encodes as the out-of-range T*S
-                # (gathers the zero triple = identity)
-                bp_enc = np.where(bp_ >= 0, bp_, T * S)
-                cbits = rc.bit_length() - 1
-                rbits = rr.bit_length() - 1
-                if rc <= PACK13_MAX_C and rr <= 512 and rr % 32 == 0:
-                    # stage-1/3 entries one byte each; i2 low byte +
-                    # (r > 256) a 9th-bit bitplane
-                    combo = (
-                        i1.astype(np.uint16) | (i3.astype(np.uint16) << 8)
-                    ).view(np.int16)
-                    lo = (i2 & 0xFF).astype(np.uint8)
-                    i2lo = np.ascontiguousarray(lo).view(np.int16)
-                    if rr > 256:
-                        pack = "13b"
-                        hb = (i2 >> 8).astype(np.uint16)
-                        hb16 = hb.reshape(hb.shape[0], hb.shape[1], -1, 16)
-                        plane = (
-                            hb16 << np.arange(16, dtype=np.uint16)
-                        ).sum(axis=-1, dtype=np.uint16).astype(np.uint16)
-                        idx_parts = (combo, i2lo, plane.view(np.int16))
-                    else:
-                        pack = "13a"
-                        idx_parts = (combo, i2lo)
-                elif rc <= PACK13_MAX_C:  # odd r: plain int16 i2
-                    pack = "13"
-                    combo = (
-                        i1.astype(np.uint16) | (i3.astype(np.uint16) << 8)
-                    ).view(np.int16)
-                    idx_parts = (combo, i2)
-                elif 2 * cbits + rbits <= 32:
-                    pack = "32"
-                    v = (
-                        i1.astype(np.uint32)
-                        | (i3.astype(np.uint32) << cbits)
-                        | (i2.reshape(i1.shape).astype(np.uint32)
-                           << (2 * cbits))
-                    )
-                    idx_parts = (np.ascontiguousarray(v).view(np.int16),)
-                else:
-                    pack = "none"
-                    idx_parts = (i1, i2, i3)
-                # sel: lane ids < L; empty (-1) -> lane 0 (only bpos-
-                # referenced slots are consumed, so stray selections are
-                # dead weight, not errors). L <= 512 -> low byte + 9th-bit
-                # bitplane: 9.06 bits/slot instead of 16.
-                selpack = L <= 512 and S % 32 == 0
-                if selpack:
-                    se = np.where(sc_ >= 0, sc_, 0)
-                    slo = np.ascontiguousarray(
-                        (se & 0xFF).astype(np.uint8)
-                    ).view(np.int16)
-                    hb = (se >> 8).astype(np.uint16)
-                    hb16 = hb.reshape(hb.shape[0], -1, 16)
-                    shi = (
-                        (hb16 << np.arange(16, dtype=np.uint16))
-                        .sum(axis=-1, dtype=np.uint16)
-                        .view(np.int16)
-                    )
-                    sel_parts = (slo, shi)
-                else:
-                    sel_parts = (sc_,)
-                bp16 = T * S <= 65535
-                if bp16:
-                    bp_parts = (bp_enc.astype(np.uint16).view(np.int16),)
-                else:
-                    bp_parts = (
-                        (bp_enc >> 15).astype(np.int16),
-                        (bp_enc & 0x7FFF).astype(np.int16),
-                    )
-                parts = idx_parts + sel_parts + bp_parts + (lc,)
-                shapes = tuple(tuple(p.shape) for p in parts)
-                buf = np.concatenate(
-                    [p.astype(np.int16).ravel() for p in parts]
+                buf, shapes, pack, cbits, rbits, selpack, bp16 = (
+                    _pack_idx_chunk(i1, i2, i3, sc_, bp_, lc, rr, rc, T, L, S)
                 )
                 _dbg(f"chunk {w0}: packed ({buf.nbytes >> 10} KB)")
                 total, bsums, flags = _stream_routed_sel_packed(

@@ -217,12 +217,12 @@ def _build_scan_sel(W: int, T: int, L: int, S: int, form: str = "cols2"):
             80, 1, L
         )
         # exact one-hot selection of boundary lanes (see ops.gather for the
-        # byte-plane bf16 trick): planes (288, L) @ one-hot (L, S) -> (288, S)
+        # byte-plane bf16 trick): prefix values are 16-bit limbs in u32
+        # containers, so TWO byte planes suffice —
+        # planes (144, L) @ one-hot (L, S) -> (144, S)
         planes = [
             (out & jnp.uint32(0xFF)),
             ((out >> jnp.uint32(8)) & jnp.uint32(0xFF)),
-            ((out >> jnp.uint32(16)) & jnp.uint32(0xFF)),
-            ((out >> jnp.uint32(24)) & jnp.uint32(0xFF)),
         ]
         a = (
             jnp.concatenate(planes, axis=0)
@@ -238,11 +238,8 @@ def _build_scan_sel(W: int, T: int, L: int, S: int, form: str = "cols2"):
             .astype(jnp.bfloat16)
         )
         acc = jnp.dot(a, oh, preferred_element_type=jnp.float32)
-        p = acc.astype(jnp.int32).astype(jnp.uint32).reshape(4, 72, S)
-        bsel_ref[...] = (
-            p[0] | (p[1] << jnp.uint32(8)) | (p[2] << jnp.uint32(16))
-            | (p[3] << jnp.uint32(24))
-        ).reshape(72, 1, S)
+        p = acc.astype(jnp.int32).astype(jnp.uint32).reshape(2, 72, S)
+        bsel_ref[...] = (p[0] | (p[1] << jnp.uint32(8))).reshape(72, 1, S)
 
     mxu_specs, mxu_args = _mxu_specs_args(form)
 

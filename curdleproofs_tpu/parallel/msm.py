@@ -228,18 +228,27 @@ def _stream_shard_kernel(
 
 
 def _stream_shard_kernel_sel(
-    px, py, pinf, neg1, i1, i2, i3, sel, bpos, lidx,
-    c: int, T: int, L: int, S: int, axis: str
+    px, py, pinf, neg1, buf,
+    c: int, T: int, L: int, S: int, axis: str,
+    shapes, pack: str, cbits: int, rbits: int, selpack: bool, bp16: bool,
 ):
     """Per-shard PRODUCTION stream pipeline — identical device graph to the
     unsharded engine (_routed_sel_body: GLV lane-doubling, 3-stage routed
     gather, flagged no-doubling sel scan, boundary stitch) — plus the
-    in-graph collective window combine. Index args carry a leading
-    length-1 shard axis from the sharding specs. Also returns the
-    doubling-flag OR across shards (psum over 0/1 integers)."""
+    in-graph collective window combine. ALL index tables arrive as ONE
+    packed int16 buffer per shard (leading shard axis; decoded in-kernel by
+    the shared omsm._decode_packed_tables) — the round-4 sharded path
+    shipped ~10 separate arrays per chunk and paid the tunnel's ~30 ms
+    fixed per-transfer latency for each (devices=1 measured 1.32x the
+    unsharded engine; this makes the transfer schedule identical by
+    construction). Also returns the doubling-flag OR across shards (psum
+    over 0/1 integers)."""
     packed = omsm._glv_stream_packed.__wrapped__(px, py, pinf, neg1)
+    i1, i2, i3, sel, bpos, lidx = omsm._decode_packed_tables(
+        buf[0], shapes, pack, cbits, rbits, selpack, bp16
+    )
     total, bsums, flags = omsm._routed_sel_body(
-        packed, i1[0], i2[0], i3[0], sel[0], bpos[0], lidx[0], T, L, S
+        packed, i1, i2, i3, sel, bpos, lidx, T, L, S
     )
     wins = _window_sums_collective(total, bsums, c, axis)
     fl = jax.lax.psum(flags, axis)  # (wb,) int counts; 0 = clean
@@ -248,12 +257,15 @@ def _stream_shard_kernel_sel(
 
 @functools.lru_cache(maxsize=None)
 def _stream_shard_sel_fn(
-    mesh: Mesh, point_axis: str, c: int, T: int, L: int, S: int
+    mesh: Mesh, point_axis: str, c: int, T: int, L: int, S: int,
+    shapes, pack: str, cbits: int, rbits: int, selpack: bool, bp16: bool,
 ):
     return jax.jit(
         shard_map(
             partial(
-                _stream_shard_kernel_sel, c=c, T=T, L=L, S=S, axis=point_axis
+                _stream_shard_kernel_sel, c=c, T=T, L=L, S=S, axis=point_axis,
+                shapes=shapes, pack=pack, cbits=cbits, rbits=rbits,
+                selpack=selpack, bp16=bp16,
             ),
             mesh=mesh,
             in_specs=(
@@ -261,12 +273,7 @@ def _stream_shard_sel_fn(
                 P(None, point_axis),  # py
                 P(point_axis),        # pinf
                 P(point_axis),        # neg1
-                P(point_axis, None, None, None),  # i1 (D, W, r, c)
-                P(point_axis, None, None, None),  # i2 (D, W, c, r)
-                P(point_axis, None, None, None),  # i3
-                P(point_axis, None, None),        # sel (D, W*T, S)
-                P(point_axis, None, None),        # bpos (D, W, B-1)
-                P(point_axis, None, None),        # lidx
+                P(point_axis, None),  # packed index buffer (D, nwords)
             ),
             out_specs=(P(None, None), P(None, None), P(None, None), P(None)),
             check_vma=False,
@@ -419,14 +426,6 @@ def _sharded_stream_sel(
 
     rr, rc = oroute.pick_rc(n2, omsm.ROUTE_MIN_FACTOR)
     W = ocms[0].shape[0]
-    # index tables travel as int16 where ranges allow (kernels upcast):
-    # halves the dominant host->device traffic, same as the unsharded
-    # engine's packed buffer. bpos spans [0, T*S) — int16 only when the
-    # compact table fits (always true for STREAM_SPLIT-sized slices).
-    sels = [s.astype(np.int16) for s in sels]
-    if T * S <= (1 << 15):
-        bposs = [b.astype(np.int16) for b in bposs]
-    lidxs = [l.astype(np.int16) for l in lidxs]
 
     # route solves on background threads, consumed chunk by chunk (same
     # 4-window chunking as the unsharded engine, so dispatch graphs stay
@@ -434,45 +433,70 @@ def _sharded_stream_sel(
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
 
+    wb = 4
+    Wp = -(-W // wb) * wb  # pad to uniform chunks: ONE compiled shape
+    ident = np.arange(n2, dtype=np.int32)[None]
+    B = 1 << c
+    if Wp != W:
+        pad_w = Wp - W
+        sels = [
+            np.concatenate([s_, np.full((pad_w * T, S), -1, np.int32)])
+            for s_ in sels
+        ]
+        bposs = [
+            np.concatenate([b_, np.full((pad_w, B - 1), -1, np.int32)])
+            for b_ in bposs
+        ]
+        lidxs = [
+            np.concatenate([l_, np.full((pad_w, B - 1), -1, np.int32)])
+            for l_ in lidxs
+        ]
     pool = ThreadPoolExecutor(max_workers=min(8, _os.cpu_count() or 1))
     futs = {
-        (s, w): pool.submit(oroute.decompose, rr, rc, ocms[s][w : w + 1])
-        for w in range(W)
+        (s, w): pool.submit(
+            oroute.decompose, rr, rc, ocms[s][w : w + 1] if w < W else ident
+        )
+        for w in range(Wp)
         for s in range(D)
     }
     pool.shutdown(wait=False)
 
-    f = _stream_shard_sel_fn(mesh, point_axis, c, T, L, S)
-    wb = 4
-    B = 1 << c
+    neg_all = jnp.asarray(np.concatenate(negs))
     pend = []
-    for w0 in range(0, W, wb):
-        cb = min(wb, W - w0)
-        i1c, i2c, i3c = [], [], []
+    for w0 in range(0, Wp, wb):
+        cb = wb
+        # one packed int16 buffer PER SHARD, stacked on the shard axis:
+        # exactly one host->device transfer per chunk, as in the unsharded
+        # engine (omsm._pack_idx_chunk / _decode_packed_tables)
+        bufs = []
+        meta = None
         for s in range(D):
             parts = [futs[(s, w)].result() for w in range(w0, w0 + cb)]
-            i1c.append(
-                np.concatenate([p[0] for p in parts], axis=0).astype(np.int16)
+            i1 = np.concatenate([p[0] for p in parts], axis=0)
+            i2 = np.concatenate([p[1] for p in parts], axis=0)
+            i3 = np.concatenate([p[2] for p in parts], axis=0)
+            buf, shapes, pack, cbits, rbits, selpack, bp16 = (
+                omsm._pack_idx_chunk(
+                    i1, i2, i3,
+                    sels[s][w0 * T : (w0 + cb) * T],
+                    bposs[s][w0 : w0 + cb],
+                    lidxs[s][w0 : w0 + cb],
+                    rr, rc, T, L, S,
+                )
             )
-            i2c.append(
-                np.concatenate([p[1] for p in parts], axis=0).astype(np.int16)
-            )
-            i3c.append(
-                np.concatenate([p[2] for p in parts], axis=0).astype(np.int16)
-            )
+            bufs.append(buf)
+            meta = (shapes, pack, cbits, rbits, selpack, bp16)
+        shapes, pack, cbits, rbits, selpack, bp16 = meta
+        f = _stream_shard_sel_fn(
+            mesh, point_axis, c, T, L, S,
+            shapes, pack, cbits, rbits, selpack, bp16,
+        )
         wx, wy, wz, fl = f(
             points.x,
             points.y,
             points.inf,
-            jnp.asarray(np.concatenate(negs)),
-            jnp.asarray(np.stack(i1c)),
-            jnp.asarray(np.stack(i2c)),
-            jnp.asarray(np.stack(i3c)),
-            jnp.asarray(
-                np.stack([sels[s][w0 * T : (w0 + cb) * T] for s in range(D)])
-            ),
-            jnp.asarray(np.stack([bposs[s][w0 : w0 + cb] for s in range(D)])),
-            jnp.asarray(np.stack([lidxs[s][w0 : w0 + cb] for s in range(D)])),
+            neg_all,
+            jnp.asarray(np.stack(bufs)),
         )
         pend.append((wx, wy, wz, fl))
 

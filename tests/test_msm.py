@@ -470,3 +470,53 @@ def test_msm_stream_pack13b_matches_oracle(monkeypatch):
         og.pack_points(pts), sc_np, c=13, window_batch=10, routed=True
     )
     assert got == msm_host(pts, scs)
+
+
+def test_gather_planes2_exact_for_16bit_tables():
+    """planes=2 one-hot gathers (the MSM production setting: all tables are
+    16-bit limbs in u32 containers) match the 4-plane and numpy results."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops import gather as ogather
+    from curdleproofs_tpu.ops import route
+
+    rng = np.random.default_rng(11)
+    table = rng.integers(0, 1 << 16, (5, 64), dtype=np.uint32)
+    idx = rng.integers(-2, 64, (3, 40)).astype(np.int32)
+    want = np.asarray(
+        ogather.gather_u32_xla(
+            jnp.asarray(table)[:, None, :].repeat(3, 1), jnp.asarray(idx)
+        )
+    )
+    got = np.asarray(
+        ogather.gather_u32_shared(jnp.asarray(table), jnp.asarray(idx), planes=2)
+    )
+    assert np.array_equal(got, want)
+
+    G_, R, K, M = 4, 5, 16, 24
+    tab = rng.integers(0, 1 << 16, (G_, R, K), dtype=np.uint32)
+    ridx = rng.integers(-2, K, (G_, M)).astype(np.int32)
+    out = np.asarray(
+        ogather.rowwise_gather(jnp.asarray(tab), jnp.asarray(ridx), planes=2)
+    )
+    for g in range(G_):
+        for m in range(M):
+            w = tab[g, :, ridx[g, m]] if 0 <= ridx[g, m] < K else 0
+            assert (out[g, :, m] == w).all()
+
+    r, c, W = 16, 8, 2
+    n = r * c
+    packed = rng.integers(0, 1 << 16, (49, n), dtype=np.uint32)
+    src = np.stack([rng.permutation(n) for _ in range(W)]).astype(np.int32)
+    i1, i2, i3 = route.decompose_py(r, c, src)
+    got = np.asarray(
+        ogather.routed_gather(
+            jnp.asarray(packed),
+            jnp.asarray(i1),
+            jnp.asarray(i2),
+            jnp.asarray(i3),
+            planes=2,
+        )
+    )
+    want = np.stack([packed[:, src[w]] for w in range(W)], axis=1)
+    assert np.array_equal(got, want)
