@@ -92,7 +92,7 @@ def build(R, G, K, M, GB, BM, form):
             out_specs=_vspec((GB, R, BM), lambda g, j: (g, 0, j)),
             out_shape=jax.ShapeDtypeStruct((G, R, M), jnp.uint32),
             interpret=jax.default_backend() != "tpu",
-        )(table, idx)
+        )(table, idx[:, None, :])
 
     return call
 

@@ -751,20 +751,28 @@ def _pack_stream_results_flagged(xs, ys, zs, flags):
     return jnp.concatenate([_pack_stream_results(xs, ys, zs), col], axis=-1)
 
 
-def _pack_idx_chunk(i1, i2, i3, sc_, bp_, lc, rr, rc, T: int, L: int, S: int):
+def _pack_idx_chunk(
+    i1, i2, i3, sc_, bp_, lc, rr, rc, T: int, L: int, S: int,
+    prepacked_idx=None,
+):
     """Pack one window chunk's index tables into ONE flat int16 host buffer
-    — the axon tunnel charges ~30 ms fixed latency per host->device
-    transfer, so six small arrays cost ~6x one big one. Returns
+    — one transfer per chunk instead of six. Returns
     (buf, shapes, pack, cbits, rbits, selpack, bp16); the device-side
     inverse is _decode_packed_tables. Shared by the unsharded engine and
     the sharded per-shard path (parallel.msm).
+
+    prepacked_idx = (pack, idx_parts) skips the route-table packing: the
+    native solver already emitted the wire format (route.decompose_packed)
+    and i1/i2/i3 are ignored.
 
     bpos empty (-1) encodes as the out-of-range T*S (gathers the zero
     triple = identity)."""
     bp_enc = np.where(bp_ >= 0, bp_, T * S)
     cbits = rc.bit_length() - 1
     rbits = rr.bit_length() - 1
-    if rc <= PACK13_MAX_C and rr <= 512 and rr % 32 == 0:
+    if prepacked_idx is not None:
+        pack, idx_parts = prepacked_idx
+    elif rc <= PACK13_MAX_C and rr <= 512 and rr % 32 == 0:
         # stage-1/3 entries one byte each; i2 low byte +
         # (r > 256) a 9th-bit bitplane
         combo = (
@@ -1002,12 +1010,13 @@ def _msm_stream_impl(
 
     if window_batch is None:
         if routed:
-            # uniform 4-window chunks: measured best at 2^16/L=512
-            # (0.332 s vs 0.376 s for a small-first [2,4,4] schedule —
-            # transfers don't overlap compute on this link, so a small
-            # first chunk only shrinks the head by ~30 ms while its
-            # worse tail chunk costs more; benchmarks/sweep_stream.py)
-            window_batch = 4
+            # uniform 2-window chunks: the round-5 tunnel moves host->device
+            # data at ~1 GB/s with sub-ms fixed cost (micro_overlap.py), so
+            # transfer batching no longer matters and the schedule is paced
+            # by the 2-core route solver (~22 ms/window) — smaller chunks
+            # dispatch device work as soon as each solve pair lands
+            # (measured 0.252 s vs 0.323 s for 4-window chunks at 2^16)
+            window_batch = 2
         else:
             # per-chunk live set: gathered records + full prefix table:
             # ~500 u32 rows per lane
@@ -1035,7 +1044,16 @@ def _msm_stream_impl(
         pool = ThreadPoolExecutor(max_workers=min(8, _os.cpu_count() or 1))
         ident = np.arange(n, dtype=np.int32)[None]  # pad rows: identity perm
 
+        # packed output feeds the sel pipeline's wire buffer only; the
+        # rare non-sel fallback consumes raw tables
+        use_packed = oroute.packed_available(rr, rc) and sel_all is not None
+
         def solve(rows):
+            # native packed output: the solver emits the '13a'/'13b'
+            # transfer wire bytes directly, so neither the int32 fill
+            # scatters nor the numpy packing passes touch the main thread
+            if use_packed:
+                return oroute.decompose_packed(rr, rc, rows)
             # int16 tables: local indices are < max(r, c) <= 2^15, and the
             # 16-bit transfer halves the dominant host->device traffic (the
             # kernels upcast on device)
@@ -1075,9 +1093,20 @@ def _msm_stream_impl(
         if routed:
             parts = [f.result() for f in route_futs[w0 : w0 + cb]]
             _dbg(f"chunk {w0}: solves ready")
-            i1 = np.concatenate([p[0] for p in parts])
-            i2 = np.concatenate([p[1] for p in parts])
-            i3 = np.concatenate([p[2] for p in parts])
+            if parts and isinstance(parts[0][0], str):  # native packed
+                prepacked = (
+                    parts[0][0],
+                    tuple(
+                        np.concatenate([p[k] for p in parts])
+                        for k in range(1, len(parts[0]))
+                    ),
+                )
+                i1 = i2 = i3 = None
+            else:
+                prepacked = None
+                i1 = np.concatenate([p[0] for p in parts])
+                i2 = np.concatenate([p[1] for p in parts])
+                i3 = np.concatenate([p[2] for p in parts])
             if sel_all is not None:
                 sc_ = sel_all[w0 * T : (w0 + cb) * T]
                 bp_ = bpos_all[sl]
@@ -1103,7 +1132,10 @@ def _msm_stream_impl(
                         ]
                     )
                 buf, shapes, pack, cbits, rbits, selpack, bp16 = (
-                    _pack_idx_chunk(i1, i2, i3, sc_, bp_, lc, rr, rc, T, L, S)
+                    _pack_idx_chunk(
+                        i1, i2, i3, sc_, bp_, lc, rr, rc, T, L, S,
+                        prepacked_idx=prepacked,
+                    )
                 )
                 _dbg(f"chunk {w0}: packed ({buf.nbytes >> 10} KB)")
                 total, bsums, flags = _stream_routed_sel_packed(

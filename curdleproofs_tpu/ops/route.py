@@ -82,6 +82,39 @@ def decompose(r: int, c: int, src: np.ndarray):
     return decompose_py(r, c, src)
 
 
+def packed_available(r: int, c: int) -> bool:
+    """True when the native solver can emit the '13a'/'13b' transfer wire
+    format directly (ops.msm._decode_packed_tables): c <= 256, r <= 512,
+    r % 32 == 0 — the production stream-MSM slice shapes."""
+    return (
+        _NAT is not None
+        and hasattr(_NAT, "decompose_packed")
+        and c <= 256
+        and r <= 512
+        and r % 32 == 0
+    )
+
+
+def decompose_packed(r: int, c: int, src: np.ndarray):
+    """Route W permutations directly into the packed transfer format.
+
+    Returns (pack, combo (W, r, c) i16, i2lo (W, c, r//2) i16[, i2hi
+    (W, c, r//16) i16]) with pack "13b" when r > 256 else "13a" — the
+    exact byte layout ops.msm._pack_idx_chunk would build from decompose()
+    output, produced in C so neither the three int32 scatter-fill streams
+    nor the numpy packing passes run on the Python main thread."""
+    n = r * c
+    src = np.ascontiguousarray(src, dtype=np.int32).reshape(-1, n)
+    W = src.shape[0]
+    cb, lob, hib = _NAT.decompose_packed(r, c, src.tobytes())
+    combo = np.frombuffer(cb, np.int16).reshape(W, r, c)
+    i2lo = np.frombuffer(lob, np.int16).reshape(W, c, r // 2)
+    if hib:
+        i2hi = np.frombuffer(hib, np.int16).reshape(W, c, r // 16)
+        return ("13b", combo, i2lo, i2hi)
+    return ("13a", combo, i2lo)
+
+
 def decompose_py(r: int, c: int, src: np.ndarray):
     """Pure-Python twin of _route_native.decompose (tests / fallback)."""
     n = r * c

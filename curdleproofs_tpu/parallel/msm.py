@@ -451,10 +451,12 @@ def _sharded_stream_sel(
             np.concatenate([l_, np.full((pad_w, B - 1), -1, np.int32)])
             for l_ in lidxs
         ]
+    use_packed = oroute.packed_available(rr, rc)
+    solve = oroute.decompose_packed if use_packed else oroute.decompose
     pool = ThreadPoolExecutor(max_workers=min(8, _os.cpu_count() or 1))
     futs = {
         (s, w): pool.submit(
-            oroute.decompose, rr, rc, ocms[s][w : w + 1] if w < W else ident
+            solve, rr, rc, ocms[s][w : w + 1] if w < W else ident
         )
         for w in range(Wp)
         for s in range(D)
@@ -472,9 +474,20 @@ def _sharded_stream_sel(
         meta = None
         for s in range(D):
             parts = [futs[(s, w)].result() for w in range(w0, w0 + cb)]
-            i1 = np.concatenate([p[0] for p in parts], axis=0)
-            i2 = np.concatenate([p[1] for p in parts], axis=0)
-            i3 = np.concatenate([p[2] for p in parts], axis=0)
+            if use_packed:
+                prepacked = (
+                    parts[0][0],
+                    tuple(
+                        np.concatenate([p[k] for p in parts])
+                        for k in range(1, len(parts[0]))
+                    ),
+                )
+                i1 = i2 = i3 = None
+            else:
+                prepacked = None
+                i1 = np.concatenate([p[0] for p in parts], axis=0)
+                i2 = np.concatenate([p[1] for p in parts], axis=0)
+                i3 = np.concatenate([p[2] for p in parts], axis=0)
             buf, shapes, pack, cbits, rbits, selpack, bp16 = (
                 omsm._pack_idx_chunk(
                     i1, i2, i3,
@@ -482,6 +495,7 @@ def _sharded_stream_sel(
                     bposs[s][w0 : w0 + cb],
                     lidxs[s][w0 : w0 + cb],
                     rr, rc, T, L, S,
+                    prepacked_idx=prepacked,
                 )
             )
             bufs.append(buf)

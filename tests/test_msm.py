@@ -520,3 +520,45 @@ def test_gather_planes2_exact_for_16bit_tables():
     )
     want = np.stack([packed[:, src[w]] for w in range(W)], axis=1)
     assert np.array_equal(got, want)
+
+
+def test_decompose_packed_matches_python_packing():
+    """Native packed route output (decompose_packed) must be byte-identical
+    to the '13a'/'13b' wire bytes ops.msm._pack_idx_chunk builds from the
+    classic decompose() tables."""
+    import numpy as np
+
+    from curdleproofs_tpu.ops import route
+
+    if not route.native_available():
+        import pytest
+
+        pytest.skip("native route solver not built")
+    rng = np.random.default_rng(3)
+    for (r, c) in [(512, 256), (256, 128), (32, 8)]:
+        if not route.packed_available(r, c):
+            continue
+        n = r * c
+        W = 2
+        src = np.stack([rng.permutation(n) for _ in range(W)]).astype(np.int32)
+        out = route.decompose_packed(r, c, src)
+        pack, combo, i2lo = out[0], out[1], out[2]
+        i1, i2, i3 = route.decompose(r, c, src)
+        combo_ref = (
+            i1.astype(np.uint16) | (i3.astype(np.uint16) << 8)
+        ).view(np.int16)
+        assert np.array_equal(combo, combo_ref)
+        lo_ref = np.ascontiguousarray((i2 & 0xFF).astype(np.uint8)).view(
+            np.int16
+        )
+        assert np.array_equal(i2lo, lo_ref.reshape(W, c, r // 2))
+        if pack == "13b":
+            hb = (i2 >> 8).astype(np.uint16)
+            plane = (
+                (hb.reshape(W, c, -1, 16) << np.arange(16, dtype=np.uint16))
+                .sum(-1, dtype=np.uint16)
+                .view(np.int16)
+            )
+            assert np.array_equal(out[3], plane)
+        else:
+            assert r <= 256
