@@ -235,7 +235,9 @@ static int color_edges_batch(wwin *wins, int nw, int32_t n, int32_t r,
                 }
             }
         }
-        /* phase C: stable partitions + next level's frames (or colors) */
+        /* phase C: stable partitions + next level's frames; at the LAST
+         * level the color is just base + parity, so the partition passes
+         * are skipped entirely */
         size_t nnf = 0;
         int32_t k2 = k / 2;
         for (size_t i = 0; i < nf; i++) {
@@ -243,6 +245,11 @@ static int color_edges_batch(wwin *wins, int nw, int32_t n, int32_t r,
             wwin *W = &wins[f->win];
             const uint8_t *ub = W->ub + f->off;
             int32_t *grp = W->grp[buf], *uv = W->uv[buf];
+            if (k2 == 1) {
+                for (int32_t j = 0; j < f->m; j++)
+                    W->color[grp[f->off + j]] = f->base + (ub[j] & 1);
+                continue;
+            }
             int32_t *ogrp = W->grp[buf ^ 1], *ouv = W->uv[buf ^ 1];
             int32_t lo = f->off, hi;
             for (int32_t j = 0; j < f->m; j++)
@@ -257,16 +264,8 @@ static int color_edges_batch(wwin *wins, int nw, int32_t n, int32_t r,
                     ouv[hi++] = uv[f->off + j];
                 }
             int32_t mlo = lo - f->off;
-            if (k2 == 1) {
-                for (int32_t j = f->off; j < lo; j++)
-                    W->color[ogrp[j]] = f->base;
-                for (int32_t j = lo; j < f->off + f->m; j++)
-                    W->color[ogrp[j]] = f->base + 1;
-            } else {
-                next_f[nnf++] = (bframe){f->win, f->off, mlo, f->base};
-                next_f[nnf++] =
-                    (bframe){f->win, lo, f->m - mlo, f->base + k2};
-            }
+            next_f[nnf++] = (bframe){f->win, f->off, mlo, f->base};
+            next_f[nnf++] = (bframe){f->win, lo, f->m - mlo, f->base + k2};
         }
         bframe *tmp = cur_f;
         cur_f = next_f;

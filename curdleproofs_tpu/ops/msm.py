@@ -751,6 +751,29 @@ def _pack_stream_results_flagged(xs, ys, zs, flags):
     return jnp.concatenate([_pack_stream_results(xs, ys, zs), col], axis=-1)
 
 
+_ROUTE_POOL = None
+
+
+def _route_pool():
+    """Shared route-solve thread pool (one per process, cpu_count workers).
+
+    The solver is the host-CPU bottleneck of the stream engine; when big
+    MSMs run as overlapped slices (STREAM_SPLIT) a per-slice pool would put
+    2x the threads on the same 2 cores and thrash — a single global pool
+    keeps solves at exactly one per core while slices still overlap their
+    device work."""
+    global _ROUTE_POOL
+    if _ROUTE_POOL is None:
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ROUTE_POOL = ThreadPoolExecutor(
+            max_workers=min(8, _os.cpu_count() or 1),
+            thread_name_prefix="route-solve",
+        )
+    return _ROUTE_POOL
+
+
 def _pack_idx_chunk(
     i1, i2, i3, sc_, bp_, lc, rr, rc, T: int, L: int, S: int,
     prepacked_idx=None,
@@ -1035,13 +1058,10 @@ def _msm_stream_impl(
         # factor every window's sort permutation into 3-stage routing tables
         # on background threads (the native solver releases the GIL), one
         # future per window so solves overlap each other AND device work
-        import os as _os
-        from concurrent.futures import ThreadPoolExecutor
-
         from curdleproofs_tpu.ops import route as oroute
 
         rr, rc = oroute.pick_rc(n, ROUTE_MIN_FACTOR)
-        pool = ThreadPoolExecutor(max_workers=min(8, _os.cpu_count() or 1))
+        pool = _route_pool()
         ident = np.arange(n, dtype=np.int32)[None]  # pad rows: identity perm
 
         # packed output feeds the sel pipeline's wire buffer only; the
@@ -1065,7 +1085,6 @@ def _msm_stream_impl(
             pool.submit(solve, order_cm[w : w + 1] if w < W else ident)
             for w in range(sum(schedule))
         ]
-        pool.shutdown(wait=False)
 
     if glv_split:
         packed = _glv_stream_packed(

@@ -453,7 +453,7 @@ def _sharded_stream_sel(
         ]
     use_packed = oroute.packed_available(rr, rc)
     solve = oroute.decompose_packed if use_packed else oroute.decompose
-    pool = ThreadPoolExecutor(max_workers=min(8, _os.cpu_count() or 1))
+    pool = omsm._route_pool()
     futs = {
         (s, w): pool.submit(
             solve, rr, rc, ocms[s][w : w + 1] if w < W else ident
@@ -461,7 +461,6 @@ def _sharded_stream_sel(
         for w in range(Wp)
         for s in range(D)
     }
-    pool.shutdown(wait=False)
 
     neg_all = jnp.asarray(np.concatenate(negs))
     pend = []
