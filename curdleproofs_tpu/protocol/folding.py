@@ -244,27 +244,39 @@ class IPA(WireStruct):
 
         # check 1:  <gamma, L_C> + (B_c + alpha*C + alpha^2*z*beta*H)
         #           + <gamma^-1, R_C>  =?  <c_final*s, G> + c_final*d_final*beta*H
-        # (L and R fold into ONE MSM over gamma || gamma^-1)
-        H = crs_H * beta
+        # FULLY deferred: every non-proof point (C, crs_H, the L/R vector)
+        # moves to the base side with negated weights, so the verifier does
+        # ZERO eager group work here — the whole equation rides the one
+        # batched MSM. (An eager 2*log(n)-point host MSM per check used to
+        # dominate batched verification's per-proof wall.)
         lr_weights = gammas.cat(gammas_inv)
-        lhs_c = self.vec_L_C.cat(self.vec_R_C).msm(lr_weights) + (
-            self.B_c + C * alpha + H * (alpha * alpha * inner_prod)
-        )
+        neg_lr = -lr_weights
+        lrc = self.vec_L_C.cat(self.vec_R_C)
         msm_accumulator.accumulate_check(
-            lhs_c,
-            G.append(crs_H),
-            (s * self.c_final).cat(
-                ScalarVec.of([self.c_final * self.d_final * beta])
-            ),
+            self.B_c,
+            G.append(crs_H).append(C).cat(lrc),
+            (s * self.c_final)
+            .cat(
+                ScalarVec.of(
+                    [
+                        (self.c_final * self.d_final - alpha * alpha * inner_prod)
+                        * beta,
+                        -alpha,
+                    ]
+                )
+            )
+            .cat(neg_lr),
         )
 
         # check 2: the D-side, expressed over G via vec_u so the rescaled
         # basis G' never materializes (grand_prod.py:148-155 trick)
-        lhs_d = self.vec_L_D.cat(self.vec_R_D).msm(lr_weights) + (
-            self.B_d + D * alpha
-        )
+        lrd = self.vec_L_D.cat(self.vec_R_D)
         msm_accumulator.accumulate_check(
-            lhs_d, G, s_inv * as_scalars(vec_u) * self.d_final
+            self.B_d,
+            G.append(D).cat(lrd),
+            (s_inv * as_scalars(vec_u) * self.d_final)
+            .cat(ScalarVec.of([-alpha]))
+            .cat(neg_lr),
         )
 
 
@@ -393,12 +405,16 @@ class SameMSMProof(WireStruct):
             rounds,
         )
         weights = fold_exponents(gammas.tolist(), n) * self.x_final
-        lr_weights = gammas.cat(gammas_inv)
-
-        for L, R, base_point, basis in (
-            (self.vec_L_A, self.vec_R_A, self.B_a + A * alpha, G),
-            (self.vec_L_T, self.vec_R_T, self.B_t + Z_t * alpha, T),
-            (self.vec_L_U, self.vec_R_U, self.B_u + Z_u * alpha, U),
+        # fully deferred (see IPA.verify): statement point and L/R vectors
+        # join the base side with negated weights — no eager group ops
+        neg_lr = -(gammas.cat(gammas_inv))
+        for L, R, B_x, X, basis in (
+            (self.vec_L_A, self.vec_R_A, self.B_a, A, G),
+            (self.vec_L_T, self.vec_R_T, self.B_t, Z_t, T),
+            (self.vec_L_U, self.vec_R_U, self.B_u, Z_u, U),
         ):
-            lhs = L.cat(R).msm(lr_weights) + base_point
-            msm_accumulator.accumulate_check(lhs, basis, weights)
+            msm_accumulator.accumulate_check(
+                B_x,
+                basis.append(X).cat(L.cat(R)),
+                weights.cat(ScalarVec.of([-alpha])).cat(neg_lr),
+            )

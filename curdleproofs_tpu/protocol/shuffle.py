@@ -227,6 +227,7 @@ class CurdleProofsProof(WireStruct):
             cm_T=self.cm_T,
             cm_U=self.cm_U,
             transcript=transcript,
+            msm_accumulator=acc,
         )
         T_ext, U_ext = _padded_columns(crs, T_col, U_col)
         self.same_msm_proof.verify(

@@ -1,9 +1,12 @@
 """Sigma-protocols: the same-scalar argument and the tracker opening proof.
 
 Both are constant-size three-move protocols made non-interactive by the
-shared Fiat-Shamir oracle; they are the only verifiers that check direct
-point equalities instead of feeding the deferred-MSM batcher (the equations
-are O(1), so batching buys nothing).
+shared Fiat-Shamir oracle. Inside a full shuffle verification the
+same-scalar equations feed the deferred-MSM batcher like every other
+sub-argument (even O(1) equations cost ~8 eager scalar muls, which
+dominated batched verification once the big checks were deferred); the
+standalone path and the tracker opening proof check direct point
+equalities, as the reference does (same_scalar.py:101-111).
 
   SameScalar  proves cm_T, cm_U commit to R*k, S*k under one secret k
               (same_scalar.py:14-111; labels sameexp_points /
@@ -106,10 +109,34 @@ class SameScalarProof(WireStruct):
         cm_T: GroupCommitment,
         cm_U: GroupCommitment,
         transcript: Transcript,
+        msm_accumulator=None,
     ) -> None:
         alpha = self._bind_statement(
             transcript, R, S, cm_T, cm_U, self.cm_A, self.cm_B
         )
+        if msm_accumulator is not None:
+            # deferred form: Com(G, H; T, r) = (G*r, T + H*r), so each
+            # commitment equality is two point equations pushed into the
+            # batched accumulator with negated challenge weights — zero
+            # eager group ops (the direct path below costs ~8 scalar muls,
+            # the dominant per-proof term after the L/R deferral)
+            from curdleproofs_tpu.vectors import as_points, as_scalars
+
+            for (cm, stmt, base, zr, comm) in (
+                (self.cm_A, cm_T, R, self.z_t, crs_G_t),
+                (self.cm_B, cm_U, S, self.z_u, crs_G_u),
+            ):
+                msm_accumulator.accumulate_check(
+                    cm.T_1,
+                    as_points([comm, stmt.T_1]),
+                    as_scalars([zr, -alpha]),
+                )
+                msm_accumulator.accumulate_check(
+                    cm.T_2,
+                    as_points([base, crs_H, stmt.T_2]),
+                    as_scalars([self.z_k, zr, -alpha]),
+                )
+            return
         ok_t = (
             GroupCommitment.new(crs_G_t, crs_H, R * self.z_k, self.z_t)
             == self.cm_A + cm_T * alpha
