@@ -323,6 +323,12 @@ def rowwise_gather(
     while M % BM:
         BM -= 128 if BM > 128 else 1
     GB = max(1, min(G, (6 << 20) // (R * (K + BM) * 4)))
+    if _interpret():
+        # interpret mode inlines the kernel's unrolled GB-group loop into
+        # one XLA computation; hundreds of groups per step produce graphs
+        # the XLA:CPU compiler chews on for minutes (and occasionally
+        # crashes on). Small-K test shapes hit GB in the hundreds — cap it.
+        GB = min(GB, 8)
     while G % GB:
         GB -= 1
     return _build_rowwise(R, G, K, M, GB, BM, planes)(table, idx[:, None, :])
