@@ -128,7 +128,10 @@ def main():
     c = int(os.environ.get("BENCH_C", omsm.pick_window(n)))
     W = -(-255 // c)
     method = os.environ.get("BENCH_METHOD", "stream")
-    wb = int(os.environ["BENCH_WB"]) if os.environ.get("BENCH_WB") else None
+    wb = None
+    if os.environ.get("BENCH_WB"):
+        _w = os.environ["BENCH_WB"]
+        wb = [int(x) for x in _w.split(",")] if "," in _w else int(_w)
 
     def run_with(pv, sv, sv_np, cc=c):
         if method == "ladder":
